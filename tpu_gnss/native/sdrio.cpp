@@ -1,0 +1,112 @@
+// tpu_gnss native host-side sample ingest.
+//
+// TPU-native equivalent of the reference's native sample frontends: the
+// bit-packed file reader + unpacker (reference: c/search_offline.cpp:121-157)
+// and the int8 I/Q deinterleavers used by the conversion tools
+// (reference: c/conv_1bit_bin_to_hackrf_bin.cpp).  The device does all the
+// math; this library only turns packed capture bytes into dense arrays at
+// memory-bandwidth speed so host ingest never gates the TPU.
+//
+// Exposed as a plain C ABI consumed via ctypes (no pybind11 in this image).
+
+#include <cstdint>
+#include <cstring>
+
+namespace {
+
+// 256 x 8 LSB-first unpack table, built once.
+struct UnpackTable {
+    uint8_t t[256][8];
+    UnpackTable() {
+        for (int b = 0; b < 256; b++)
+            for (int k = 0; k < 8; k++)
+                t[b][k] = (b >> k) & 1;
+    }
+};
+const UnpackTable kUnpack;
+
+struct BipolarTable {
+    int8_t t[256][8];
+    BipolarTable() {
+        for (int b = 0; b < 256; b++)
+            for (int k = 0; k < 8; k++)
+                t[b][k] = ((b >> k) & 1) ? -1 : 1;
+    }
+};
+const BipolarTable kBipolar;
+
+}  // namespace
+
+extern "C" {
+
+// Unpack n_bytes LSB-first packed bits -> {0,1} bytes. out has 8*n_bytes.
+void sdrio_unpack_1bit(const uint8_t* in, int64_t n_bytes, uint8_t* out) {
+    for (int64_t i = 0; i < n_bytes; i++)
+        std::memcpy(out + 8 * i, kUnpack.t[in[i]], 8);
+}
+
+// Unpack to bipolar int8: bit 1 -> -1, bit 0 -> +1 (reference Bipolar()).
+void sdrio_unpack_1bit_bipolar(const uint8_t* in, int64_t n_bytes, int8_t* out) {
+    for (int64_t i = 0; i < n_bytes; i++)
+        std::memcpy(out + 8 * i, kBipolar.t[in[i]], 8);
+}
+
+// Fused unpack + quadrature square-wave mix to planar int8 I/Q.
+// lo_i/lo_q are 4-entry {0,1} tables; the LO phase index follows the exact
+// ramp floor((i*lo_num/lo_den) mod 4), the precise-arithmetic form of the
+// reference's float NCO (reference: c/search_offline.cpp:127,155-156).
+// n_samples = 8*n_bytes outputs are written to out_i / out_q.
+void sdrio_unpack_mix_1bit(const uint8_t* in, int64_t n_bytes,
+                           const uint8_t* lo_i, const uint8_t* lo_q,
+                           double lo_rate, int8_t* out_i, int8_t* out_q) {
+    double phase = 0.0;
+    int64_t n = 0;
+    for (int64_t i = 0; i < n_bytes; i++) {
+        int byte = in[i];
+        for (int k = 0; k < 8; k++, n++) {
+            int bit = (byte >> k) & 1;
+            // Recompute phase index from the exact ramp to avoid float drift.
+            int p = (int)phase;
+            out_i[n] = (bit ^ lo_i[p]) ? -1 : 1;
+            out_q[n] = (bit ^ lo_q[p]) ? -1 : 1;
+            phase += lo_rate;
+            if (phase >= 4.0) phase -= 4.0;
+        }
+    }
+}
+
+// Deinterleave signed int8 I/Q into planar float32 (HackRF format).
+void sdrio_deinterleave_int8(const int8_t* in, int64_t n_pairs,
+                             float* out_i, float* out_q) {
+    for (int64_t i = 0; i < n_pairs; i++) {
+        out_i[i] = (float)in[2 * i];
+        out_q[i] = (float)in[2 * i + 1];
+    }
+}
+
+// Deinterleave unsigned uint8 I/Q, centering at 128 (rtl-sdr format).
+void sdrio_deinterleave_uint8(const uint8_t* in, int64_t n_pairs,
+                              float* out_i, float* out_q) {
+    for (int64_t i = 0; i < n_pairs; i++) {
+        out_i[i] = (float)in[2 * i] - 128.0f;
+        out_q[i] = (float)in[2 * i + 1] - 128.0f;
+    }
+}
+
+// Pack {0,1} samples into LSB-first bytes (MATLAB 'ubit1' writer analog).
+void sdrio_pack_1bit(const uint8_t* in, int64_t n_samples, uint8_t* out) {
+    int64_t n_bytes = n_samples / 8;
+    for (int64_t i = 0; i < n_bytes; i++) {
+        int b = 0;
+        for (int k = 0; k < 8; k++) b |= (in[8 * i + k] & 1) << k;
+        out[i] = (uint8_t)b;
+    }
+    int rem = (int)(n_samples - 8 * n_bytes);
+    if (rem) {
+        int b = 0;
+        for (int k = 0; k < rem; k++) b |= (in[8 * n_bytes + k] & 1) << k;
+        out[n_bytes] = (uint8_t)b;
+    }
+}
+
+}  // extern "C"

@@ -1,0 +1,137 @@
+"""GPS L1 C/A signal synthesis — test-fixture factory.
+
+Covers the reference's MATLAB signal generator (gps_sig_gen.m): C/A code
+oversampling, NAV-bit modulation, raised-cosine pulse shaping, IF up-mix and
+1-bit hard limiting — plus a more general multi-SV baseband generator with
+per-SV Doppler / code-phase / power ground truth for tracking, NAV and PVT
+tests (the reference has no equivalent; its oracle is replay hardware).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Sequence
+
+import numpy as np
+
+from ..constants import CHIP_RATE_HZ, CODE_LEN_CHIPS, CODES_PER_BIT, L1_HZ
+from . import cacode
+
+
+def raised_cosine_fir(oversample: int, rolloff: float = 0.5,
+                      delay_chips: int = 3) -> np.ndarray:
+    """Raised-cosine interpolation FIR (MATLAB ``rcosine(1, N)`` defaults).
+
+    Reference usage: gps_sig_gen.m:23 — rolloff 0.5, 3-symbol delay, 'normal'
+    (full raised cosine, not root).  Peak-normalized like MATLAB's.
+    """
+    t = np.arange(-delay_chips * oversample, delay_chips * oversample + 1,
+                  dtype=np.float64) / oversample
+    h = np.sinc(t) * np.cos(np.pi * rolloff * t)
+    den = 1.0 - (2.0 * rolloff * t) ** 2
+    # L'Hopital at the rolloff singularity |t| = 1/(2R)
+    sing = np.isclose(den, 0.0)
+    h = np.where(sing, np.pi / 4 * np.sinc(1.0 / (2 * rolloff)), h / np.where(sing, 1.0, den))
+    return h
+
+
+def nav_bit_stream(num_bits: int, rng: np.random.Generator) -> np.ndarray:
+    """Random ±1 NAV bits (gps_sig_gen.m:19)."""
+    return 1.0 - 2.0 * rng.integers(0, 2, size=num_bits).astype(np.float64)
+
+
+def synth_1bit_if(prn: int = 8, oversample: int = 8, num_bits: int = 100,
+                  seed: int = 0, nav_bits: Optional[np.ndarray] = None
+                  ) -> tuple[np.ndarray, dict]:
+    """Reproduce gps_sig_gen.m's 1-bit IF test signal.
+
+    PRN ``prn`` C/A code at ``oversample`` samples/chip
+    (fs = oversample * 1.023 MHz), 20 code periods per NAV bit,
+    zero-insertion upsampling + raised-cosine interpolation, real up-mix to
+    IF = fs/4, then 1-bit hard limit with bit 1 = negative sample
+    (gps_sig_gen.m:8-41).
+
+    Returns ``(bits {0,1} uint8, meta)`` with meta carrying fs, fc, the NAV
+    bits used, and the pulse-shaping group delay in samples.
+    """
+    fs = oversample * CHIP_RATE_HZ
+    fc = fs / 4.0
+    rng = np.random.default_rng(seed)
+    if nav_bits is None:
+        nav_bits = nav_bit_stream(num_bits, rng)
+
+    chips = 1.0 - 2.0 * cacode.code_table()[prn - 1].astype(np.float64)
+    # Zero-insertion upsample (MATLAB upsample()) then one NAV bit = 20 periods
+    g = np.zeros(CODE_LEN_CHIPS * oversample)
+    g[::oversample] = chips
+    g = np.tile(g, CODES_PER_BIT)
+    data = np.repeat(nav_bits, len(g)) * np.tile(g, len(nav_bits))
+
+    h = raised_cosine_fir(oversample)
+    shaped = np.convolve(data, h)  # 'full', like MATLAB conv (gps_sig_gen.m:35)
+
+    n = np.arange(len(shaped), dtype=np.float64)
+    y = np.real(shaped * np.exp(2j * np.pi * fc * n / fs))
+    bits = (1.0 - np.sign(y)) / 2.0  # gps_sig_gen.m:37
+    meta = dict(fs=fs, fc=fc, prn=prn, nav_bits=nav_bits,
+                group_delay=(len(h) - 1) // 2,
+                samples_per_code=CODE_LEN_CHIPS * oversample)
+    return bits.astype(np.uint8), meta
+
+
+# ---------------------------------------------------------------------------
+# General multi-SV baseband synthesis (tracking / NAV / PVT ground truth)
+# ---------------------------------------------------------------------------
+
+@dataclasses.dataclass
+class SvSignal:
+    """Ground-truth parameters for one synthesized SV."""
+    prn: int
+    doppler_hz: float = 0.0          # carrier Doppler at L1
+    code_phase_chips: float = 0.0    # code phase at sample 0 (chips into code)
+    carrier_phase_cycles: float = 0.0
+    amplitude: float = 1.0
+    nav_bits: Optional[np.ndarray] = None   # ±1, used at 50 bps
+    nav_ms_offset: int = 0           # ms into the 20-ms bit at sample 0
+
+
+def synth_baseband(svs: Sequence[SvSignal], fs: float, n_samples: int,
+                   noise_std: float = 0.0, seed: int = 0) -> np.ndarray:
+    """Complex-baseband sum of C/A signals with exact ground truth.
+
+    Each SV contributes ``A * d(t) * c(t) * exp(j 2π (f_d t + φ0))`` where the
+    code rate is Doppler-scaled by (1 + f_d/L1) — the same carrier/code
+    coherence the reference's channel seeding assumes
+    (reference: c/channel.cpp:144-145).
+    """
+    rng = np.random.default_rng(seed)
+    t = np.arange(n_samples, dtype=np.float64) / fs
+    out = np.zeros(n_samples, dtype=np.complex128)
+    table = cacode.code_table()
+    for sv in svs:
+        chips_bip = 1.0 - 2.0 * table[sv.prn - 1].astype(np.float64)
+        code_rate = CHIP_RATE_HZ * (1.0 + sv.doppler_hz / L1_HZ)
+        code_phase = sv.code_phase_chips + code_rate * t
+        chip_idx = np.floor(code_phase).astype(np.int64)
+        code = chips_bip[chip_idx % CODE_LEN_CHIPS]
+        if sv.nav_bits is not None:
+            # ms counter from elapsed code periods
+            period_idx = chip_idx // CODE_LEN_CHIPS
+            ms = period_idx + sv.nav_ms_offset
+            bit_idx = np.clip(ms // CODES_PER_BIT, 0, len(sv.nav_bits) - 1)
+            data = np.asarray(sv.nav_bits, dtype=np.float64)[bit_idx]
+        else:
+            data = 1.0
+        carrier = np.exp(2j * np.pi * (sv.doppler_hz * t + sv.carrier_phase_cycles))
+        out += sv.amplitude * data * code * carrier
+    if noise_std > 0:
+        out += noise_std * (rng.standard_normal(n_samples)
+                            + 1j * rng.standard_normal(n_samples)) / np.sqrt(2.0)
+    return out.astype(np.complex64)
+
+
+def baseband_to_1bit_if(iq: np.ndarray, fc: float, fs: float) -> np.ndarray:
+    """Up-mix complex baseband to a real IF and hard-limit to {0,1} bits."""
+    n = np.arange(len(iq), dtype=np.float64)
+    y = np.real(iq.astype(np.complex128) * np.exp(2j * np.pi * fc * n / fs))
+    return (y < 0).astype(np.uint8)
