@@ -9,6 +9,11 @@ Baseline: the reference's published cold-search rate, ~16 Msample*PRN*bin/s
 on a 1.7 GHz Pentium (2.5 s for 32 PRNs x 41 bins x 4 ms @ 10 Msps;
 reference: "Homemade GPS Receiver.html":213, BASELINE.md).
 
+Measurement notes: the tunneled TPU backend is lazy (block_until_ready does
+not force execution), so the benchmark chains blocks through a lax.scan
+with a data-dependent carry inside ONE jit and fetches the final result —
+every block must really execute, sequentially, on device.
+
 Prints exactly one JSON line:
   {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
 """
@@ -26,24 +31,38 @@ def main() -> int:
     import jax
     import jax.numpy as jnp
     from tpu_gnss.config import SYNTHETIC as cfg
-    from tpu_gnss.acquire.search import Searcher
+    from tpu_gnss.acquire import search as S
 
-    searcher = Searcher(cfg)
+    searcher = S.Searcher(cfg)
     rng = np.random.default_rng(0)
-    n_rot = 4  # rotate input blocks so no result caching can hide work
-    blocks = [jnp.asarray(rng.integers(0, 2, cfg.fft_len, dtype=np.uint8))
-              for _ in range(n_rot)]
+    n_blocks = 8
 
-    # warmup / compile
-    res = searcher.acquire_bits(blocks[0])
-    jax.block_until_ready(res)
+    bits_blocks = jnp.asarray(
+        rng.integers(0, 2, (n_blocks, cfg.fft_len), dtype=np.uint8))
+    lo_rate, lags, dop_chunk = cfg.lo_rate, cfg.lags, searcher.dop_chunk
 
-    iters = 20
+    @jax.jit
+    def pipeline(bits_blocks, code_ffts, dops):
+        def body(carry, bits):
+            bits = bits ^ carry  # chain: forces sequential real execution
+            iq = S.mix_baseband(bits, lo_rate)
+            res = S.acquire_from_fft(jnp.fft.fft(iq), code_ffts, dops,
+                                     lags=lags, dop_chunk=dop_chunk)
+            nxt = (res.ca_shift[0] & 1).astype(jnp.uint8)
+            return nxt, res.snr
+        carry, snrs = jax.lax.scan(body, jnp.uint8(0), bits_blocks)
+        return snrs
+
+    # compile + first real execution
+    out = pipeline(bits_blocks, searcher.code_ffts, searcher.dops)
+    _ = np.asarray(out)  # force
+
+    reps = 3
     t0 = time.perf_counter()
-    for i in range(iters):
-        res = searcher.acquire_bits(blocks[i % n_rot])
-    jax.block_until_ready(res)
-    dt = (time.perf_counter() - t0) / iters
+    for _ in range(reps):
+        out = pipeline(bits_blocks, searcher.code_ffts, searcher.dops)
+        _ = np.asarray(out)  # force execution of all chained blocks
+    dt = (time.perf_counter() - t0) / (reps * n_blocks)
 
     grid = len(cfg.prns) * cfg.num_dop_bins * cfg.fft_len
     value = grid / dt

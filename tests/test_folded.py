@@ -1,0 +1,65 @@
+"""Folded (coherent-integration) acquisition engine tests."""
+
+import numpy as np
+import pytest
+
+from tpu_gnss.config import ReceiverConfig, SYNTHETIC
+from tpu_gnss.acquire.folded import FoldedSearcher
+from tpu_gnss.acquire.search import Searcher
+from tpu_gnss.io import loaders
+from tpu_gnss.signal import synth
+
+SMALL = ReceiverConfig(fs=2.048e6, fc=0.512e6, max_fo=5000.0, fft_len=4096)
+
+
+def test_agrees_with_spectral_engine():
+    """Folded and spectral engines must find the same signal."""
+    cfg = SMALL
+    dop_true = 3 * cfg.dop_bin_hz
+    sv = synth.SvSignal(prn=9, doppler_hz=dop_true, code_phase_chips=100.5)
+    iq = synth.synth_baseband([sv], cfg.fs, 4 * 2048, noise_std=0.5, seed=5)
+    bits = synth.baseband_to_1bit_if(iq, cfg.fc, cfg.fs)
+
+    f = FoldedSearcher(cfg, n_coherent=4)
+    res = f.acquire(bits=bits)
+    i = 8
+    assert float(res.snr[i]) > 100
+    assert abs(float(res.doppler_hz[i]) - dop_true) <= cfg.dop_bin_hz / 2
+    want_lag = 100.5 / 1023 * 2048
+    assert abs(int(res.ca_shift[i]) - want_lag) <= 2
+
+    dets = f.detections(res)
+    assert any(d["prn"] == 9 for d in dets)
+
+
+def test_fixture_prn8(synth_fixture_path):
+    cfg = SYNTHETIC
+    f = FoldedSearcher(cfg, n_coherent=4)
+    bits = loaders.load_1bit(synth_fixture_path, count=f.block_len)
+    res = f.acquire(bits=bits)
+    assert float(res.snr[7]) > 100
+    assert abs(float(res.doppler_hz[7])) < cfg.dop_bin_hz / 2
+    assert abs(int(res.ca_shift[7]) - (8184 - 24)) <= 8
+
+
+def test_noncoherent_gain():
+    """Non-coherent accumulation must raise SNR of a weak signal."""
+    cfg = SMALL
+    sv = synth.SvSignal(prn=22, doppler_hz=0.0, code_phase_chips=50.0,
+                        amplitude=0.28)
+    n_blocks = 8
+    iq = synth.synth_baseband([sv], cfg.fs, n_blocks * 4 * 2048,
+                              noise_std=1.0, seed=77)
+    bits = synth.baseband_to_1bit_if(iq, cfg.fc, cfg.fs)
+    f = FoldedSearcher(cfg, n_coherent=4)
+    one = f.acquire(bits=bits, n_noncoherent=1)
+    acc = f.acquire(bits=bits, n_noncoherent=n_blocks)
+    assert float(acc.snr[21]) > float(one.snr[21])
+    assert int(acc.ca_shift[21]) == pytest.approx(
+        50.0 / 1023 * 2048, abs=2)
+
+
+def test_short_input_raises():
+    f = FoldedSearcher(SMALL, n_coherent=4)
+    with pytest.raises(ValueError):
+        f.acquire(bits=np.zeros(100, np.uint8))

@@ -1,0 +1,116 @@
+"""Tracking channel bank tests on synthetic baseband with ground truth."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from tpu_gnss.constants import CHIP_RATE_HZ, CODES_PER_BIT, L1_HZ
+from tpu_gnss.signal import synth
+from tpu_gnss.track import channel as tc
+
+FS = 5.456e6  # Nottingham rate: 5.33 samples/chip, incommensurate with
+# the chip rate so chip-boundary sample phases vary across the code and the
+# E-L discriminator S-curve is smooth (commensurate rates create staircase
+# dead zones — worst case for any sampled DLL, including the reference's)
+
+
+def _run_bank(svs, n_epochs, noise=0.0, seed=0, start_err_chips=0.0,
+              start_err_hz=0.0, n_chan=None):
+    n_chan = n_chan or len(svs)
+    iq = synth.synth_baseband(svs, FS, n_epochs * 5456, noise_std=noise,
+                              seed=seed)
+    state = tc.init_state(n_chan)
+    for ch, sv in enumerate(svs):
+        state = tc.start_channel(
+            state, ch, sv.doppler_hz + start_err_hz,
+            sv.code_phase_chips + start_err_chips)
+    tables = tc.channel_code_tables([sv.prn for sv in svs], n_chan)
+    final, out = tc.track_epochs(
+        jnp.asarray(iq), state, jnp.asarray(tables), fs=FS,
+        pll_gains=tc.second_order_gains(18.0),
+        dll_gains=tc.second_order_gains(2.0))
+    return final, out
+
+
+def _phase_err_chips(out, ch, sv, n_epochs):
+    """Tracked code phase minus ground truth, per epoch start (chips)."""
+    code_rate_true = CHIP_RATE_HZ * (1.0 + sv.doppler_hz / L1_HZ)
+    t = np.arange(n_epochs) * 5456 / FS
+    true_phase = (sv.code_phase_chips + code_rate_true * t) % 1023
+    est = np.asarray(out.code_phase[:, ch])
+    return (est - true_phase + 511.5) % 1023 - 511.5
+
+
+def test_lock_from_imperfect_seed():
+    """Converge from half-chip / half-bin seed errors (acquisition grade)."""
+    n_epochs = 800
+    svs = [synth.SvSignal(prn=7, doppler_hz=1234.0, code_phase_chips=500.25)]
+    final, out = _run_bank(svs, n_epochs, noise=0.5, start_err_chips=0.4,
+                           start_err_hz=150.0)
+    cf = np.asarray(out.carrier_freq[:, 0])
+    assert abs(cf[-50:].mean() - 1234.0) < 5.0, "carrier must lock"
+    err = _phase_err_chips(out, 0, svs[0], n_epochs)
+    tail = err[-300:]
+    assert np.abs(tail).max() < 0.2, "code phase must track truth"
+    # residual drift < 0.3 chips/s (linear fit; floor-sampled replicas make
+    # the discriminator plateau ±1/(2*samples_per_chip), so short-window
+    # slopes wander)
+    t_tail = np.arange(len(tail)) * 5456 / FS
+    drift = np.polyfit(t_tail, tail, 1)[0]
+    assert abs(drift) < 0.3
+    # prompt power should dominate E/L at lock
+    ip = np.asarray(out.ip[-50:, 0])
+    assert np.abs(ip).mean() > 0.5 * 5456  # most energy in I
+
+
+def test_multichannel_independent():
+    """Two SVs tracked simultaneously without cross-talk."""
+    svs = [synth.SvSignal(prn=3, doppler_hz=-2000.0, code_phase_chips=10.0),
+           synth.SvSignal(prn=19, doppler_hz=3500.0, code_phase_chips=900.0)]
+    final, out = _run_bank(svs, 300, noise=0.5)
+    cf = np.asarray(out.carrier_freq)
+    assert abs(cf[-30:, 0].mean() + 2000.0) < 5.0
+    assert abs(cf[-30:, 1].mean() - 3500.0) < 5.0
+
+
+def test_nav_bit_demod_ber0():
+    """Recover known NAV bits with zero errors after lock."""
+    rng = np.random.default_rng(3)
+    bits = 1.0 - 2.0 * rng.integers(0, 2, 40).astype(np.float64)
+    svs = [synth.SvSignal(prn=12, doppler_hz=800.0, code_phase_chips=0.0,
+                          nav_bits=bits)]
+    n_epochs = 40 * CODES_PER_BIT  # 800 ms
+    final, out = _run_bank(svs, n_epochs, noise=0.3)
+    ip = np.asarray(out.ip[:, 0])
+    # skip first 100 ms (pull-in), then integrate per 20-epoch bit
+    start = 100
+    start -= start % CODES_PER_BIT
+    got = []
+    want = []
+    for b in range(start // CODES_PER_BIT, 40):
+        seg = ip[b * CODES_PER_BIT:(b + 1) * CODES_PER_BIT]
+        got.append(np.sign(seg.sum()))
+        want.append(bits[b])
+    got = np.asarray(got)
+    want = np.asarray(want)
+    # Costas has a 180-degree ambiguity: accept either polarity globally
+    agree = (got == want).mean()
+    assert agree in (0.0, 1.0) or agree > 0.99 or agree < 0.01, \
+        f"BER must be 0 up to polarity, agree={agree}"
+
+
+def test_inactive_channels_untouched():
+    svs = [synth.SvSignal(prn=5, doppler_hz=0.0, code_phase_chips=0.0)]
+    final, out = _run_bank(svs, 50, n_chan=4)
+    assert not bool(np.asarray(final.active)[3])
+    assert float(np.asarray(final.pwr_avg)[3]) == 0.0
+    assert float(np.asarray(final.code_freq)[3]) == CHIP_RATE_HZ
+
+
+def test_carrier_pull_in():
+    """Code-rate derived carrier reseed lands near the true Doppler."""
+    svs = [synth.SvSignal(prn=30, doppler_hz=2500.0, code_phase_chips=0.0)]
+    final, out = _run_bank(svs, 400, noise=0.2, start_err_hz=60.0)
+    pulled = tc.carrier_pull_in(final)
+    seed = float(np.asarray(pulled.carrier_seed)[0])
+    assert abs(seed - 2500.0) < 25.0

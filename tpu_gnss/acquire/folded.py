@@ -1,0 +1,191 @@
+"""Folded (coherent-integration) acquisition engine — the fast native path.
+
+The reference correlates each 40000-sample block directly: per Doppler bin,
+a 40000-point spectrum product + inverse FFT, even though only one code
+period (fs/1000 samples) of lags is meaningful
+(reference: c/search_offline.cpp:169-201).  This engine restructures the
+same search TPU-first:
+
+1. **Exact Doppler wipe-off**: mix the block by ``exp(-j2π f t)`` for every
+   candidate Doppler (a batched elementwise product — cheap on the VPU),
+   instead of integer-bin spectrum rolls.
+2. **Coherent folding**: the mixed block, an integer number of code
+   periods long, is folded (reshape + sum) onto one period.  Correlation
+   against the period-P replica then needs only P-point FFTs — ~5x less
+   transform work than the reference-shaped grid for a 4-period block.
+3. **Non-coherent accumulation**: power grids from successive blocks can
+   be summed, raising sensitivity below the single-block threshold — a
+   capability the reference lacks entirely.
+
+Semantics: SNR = peak/avg power over the P lags of one code period, the
+same detector statistic as the reference; ``ca_shift`` has the identical
+meaning (code advance in samples at block start).  Doppler is searched on
+an arbitrary Hz grid (default: the reference's bin spacing fs/40000).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import ReceiverConfig
+from ..signal import cacode
+from .search import mix_baseband
+
+
+class FoldedResult(NamedTuple):
+    """Per-SV best over the Doppler grid (arrays ``[n_sv]``)."""
+    snr: jnp.ndarray        # peak/avg power at best Doppler
+    doppler_hz: jnp.ndarray # best Doppler, Hz (float32)
+    ca_shift: jnp.ndarray   # code phase advance, samples in [0, P)
+
+
+@functools.lru_cache(maxsize=8)
+def period_replicas_np(fs: float, prns: tuple[int, ...]) -> np.ndarray:
+    """``[n_sv, P]`` float32 one-period bipolar replicas, P = fs/1000."""
+    p = int(fs / 1000)
+    chips = cacode.code_table()[np.array(prns) - 1]
+    return cacode.resample(chips, fs, p)
+
+
+def doppler_grid_hz(cfg: ReceiverConfig,
+                    spacing_hz: Optional[float] = None) -> np.ndarray:
+    """Doppler grid in Hz; default spacing matches the reference bins."""
+    step = spacing_hz if spacing_hz is not None else cfg.dop_bin_hz
+    m = int(cfg.max_fo / step)
+    return (np.arange(-m, m + 1, dtype=np.float64) * step).astype(np.float32)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("fs", "n_coherent", "dop_chunk"))
+def fold_power_grid(iq: jnp.ndarray, code_ffts_p: jnp.ndarray,
+                    dops_hz: jnp.ndarray, *, fs: float, n_coherent: int,
+                    dop_chunk: int = 64) -> jnp.ndarray:
+    """Power grid ``[n_sv, n_dop, P]`` for one coherent block.
+
+    ``iq``: ``[n_coherent * P]`` complex baseband samples.
+    ``code_ffts_p``: ``[n_sv, P]`` complex spectra of one-period replicas.
+    """
+    p = code_ffts_p.shape[-1]
+    n = n_coherent * p
+    iq = iq[:n]
+    n_dop = dops_hz.shape[0]
+    pad = (-n_dop) % dop_chunk
+    dops_p = jnp.concatenate([dops_hz, jnp.zeros(pad, dops_hz.dtype)])
+    chunks = dops_p.reshape(-1, dop_chunk)
+
+    t = (jnp.arange(n, dtype=jnp.float32) / jnp.float32(fs))
+
+    def per_chunk(dop_c):
+        # exact wipe-off: [chunk, n]
+        ph = -2.0 * jnp.pi * dop_c[:, None] * t[None, :]
+        mixed = iq[None, :] * jax.lax.complex(jnp.cos(ph), jnp.sin(ph))
+        folded = mixed.reshape(dop_chunk, n_coherent, p).sum(axis=1)
+        f = jnp.fft.fft(folded, axis=-1)                      # [chunk, P]
+        prod = code_ffts_p[:, None, :] * jnp.conj(f)[None, :, :]
+        corr = jnp.fft.ifft(prod, axis=-1)                    # [sv, chunk, P]
+        return corr.real ** 2 + corr.imag ** 2
+
+    pwr = jax.lax.map(per_chunk, chunks)        # [n_chunk, sv, chunk, P]
+    pwr = jnp.moveaxis(pwr, 0, 1).reshape(code_ffts_p.shape[0], -1, p)
+    return pwr[:, :n_dop, :]
+
+
+@jax.jit
+def reduce_grid(pwr: jnp.ndarray, dops_hz: jnp.ndarray) -> FoldedResult:
+    """Best (SNR, Doppler, lag) per SV from an accumulated power grid."""
+    p = pwr.shape[-1]
+    max_lag = pwr.argmax(axis=-1).astype(jnp.int32)       # [sv, dop]
+    max_pwr = pwr.max(axis=-1)
+    snr = max_pwr / (pwr.sum(axis=-1) / p)
+    best = snr.argmax(axis=-1)                            # first max wins
+    take = lambda a: jnp.take_along_axis(a, best[:, None], 1)[:, 0]
+    return FoldedResult(take(snr), dops_hz[best],
+                        take(max_lag))
+
+
+class FoldedSearcher:
+    """High-level folded acquisition engine.
+
+    Args:
+      cfg: receiver configuration (fs, fc, max_fo, threshold, prns).
+      n_coherent: code periods per coherent fold (default 4 ≈ the
+        reference's 4 ms window at 10 Msps).
+      dop_spacing_hz: Doppler grid step (default: reference bin fs/40000).
+    """
+
+    def __init__(self, cfg: ReceiverConfig, n_coherent: int = 4,
+                 dop_spacing_hz: Optional[float] = None,
+                 dop_chunk: int = 64):
+        self.cfg = cfg
+        self.n_coherent = n_coherent
+        self.period = int(cfg.fs / 1000)
+        self.block_len = self.period * n_coherent
+        replicas = jnp.asarray(period_replicas_np(cfg.fs, cfg.prns))
+        self.code_ffts_p = jax.jit(
+            lambda r: jnp.fft.fft(r.astype(jnp.complex64), axis=-1))(replicas)
+        self.dops_hz = jnp.asarray(doppler_grid_hz(cfg, dop_spacing_hz))
+        self.dop_chunk = min(dop_chunk, len(self.dops_hz))
+
+    # ------------------------------------------------------------------
+    def _iq_from_bits(self, bits) -> jnp.ndarray:
+        bits = jnp.asarray(bits, dtype=jnp.uint8)
+        return mix_baseband(bits, self.cfg.lo_rate)
+
+    def power_grid(self, bits=None, iq=None) -> jnp.ndarray:
+        """[n_sv, n_dop, P] power grid for one coherent block."""
+        if iq is None:
+            iq = self._iq_from_bits(bits)
+        elif isinstance(iq, np.ndarray):
+            from ..utils.xfer import to_device_complex
+            iq = to_device_complex(iq)
+        if iq.shape[-1] < self.block_len:
+            raise ValueError(
+                f"need {self.block_len} samples "
+                f"({self.n_coherent} periods of {self.period}), "
+                f"got {iq.shape[-1]}")
+        return fold_power_grid(iq, self.code_ffts_p, self.dops_hz,
+                               fs=self.cfg.fs, n_coherent=self.n_coherent,
+                               dop_chunk=self.dop_chunk)
+
+    def acquire(self, bits=None, iq=None,
+                n_noncoherent: int = 1) -> FoldedResult:
+        """Search one capture segment; optional non-coherent accumulation.
+
+        With ``n_noncoherent > 1``, consecutive coherent blocks' power
+        grids are summed before the peak search (weak-signal mode).
+        """
+        if iq is None:
+            iq = self._iq_from_bits(bits)
+        elif isinstance(iq, np.ndarray):
+            from ..utils.xfer import to_device_complex
+            iq = to_device_complex(iq)
+        need = n_noncoherent * self.block_len
+        if iq.shape[-1] < need:
+            raise ValueError(
+                f"need {need} samples ({n_noncoherent} x {self.n_coherent} "
+                f"periods of {self.period}), got {iq.shape[-1]}")
+        pwr = None
+        for b in range(n_noncoherent):
+            seg = jax.lax.dynamic_slice_in_dim(
+                iq, b * self.block_len, self.block_len)
+            g = self.power_grid(iq=seg)
+            pwr = g if pwr is None else pwr + g
+        return reduce_grid(pwr, self.dops_hz)
+
+    def detections(self, res: FoldedResult) -> list[dict]:
+        snr = np.asarray(res.snr)
+        dop = np.asarray(res.doppler_hz)
+        ca = np.asarray(res.ca_shift)
+        out = []
+        for i, prn in enumerate(self.cfg.prns):
+            if snr[i] >= self.cfg.snr_threshold:
+                out.append(dict(
+                    prn=prn, sv=prn - 1, snr=float(snr[i]),
+                    doppler_hz=float(dop[i]), ca_shift=int(ca[i]),
+                    lo_shift=int(round(float(dop[i]) / self.cfg.dop_bin_hz))))
+        return out
