@@ -1,0 +1,101 @@
+"""End-to-end receiver test: synthetic RF scene in, position fix out.
+
+The full-chain oracle the reference never had in software: a consistent
+multi-SV scene (light-time-exact code phases, parity-valid NAV streams,
+Doppler-coherent carriers) is synthesized at a known receiver position,
+and the complete pipeline — acquisition, tracking, bit/frame sync,
+ephemeris decode, PVT — must recover that position.
+"""
+
+import numpy as np
+import pytest
+
+from tpu_gnss.config import ReceiverConfig
+from tpu_gnss.constants import OMEGA_E, SPEED_OF_LIGHT
+from tpu_gnss.nav.ephemeris import encode_subframes
+from tpu_gnss.pvt import solve as ps
+from tpu_gnss.receiver import Receiver
+from tpu_gnss.signal import synth
+
+from .test_pvt import make_constellation
+
+FS = 2.048e6
+TRUTH_LLA = (52.95, -1.15, 48.0)
+T_OE = 302400.0
+
+
+def sv_time_knots(eph, rx_ecef, t_rx_knots):
+    """Light-time-exact raw SV times at receiver-time knots."""
+    out = []
+    for t_rx in t_rx_knots:
+        t_tx = t_rx - 0.075
+        for _ in range(6):
+            svp = np.array(eph.get_xyz(t_tx))
+            th = (t_tx - t_rx) * OMEGA_E
+            ct, st = np.cos(th), np.sin(th)
+            eci = np.array([svp[0] * ct - svp[1] * st,
+                            svp[0] * st + svp[1] * ct, svp[2]])
+            r = np.linalg.norm(np.asarray(rx_ecef) - eci)
+            t_tx = t_rx - r / SPEED_OF_LIGHT
+        raw = t_tx
+        for _ in range(4):
+            raw = t_tx + eph.clock_correction(raw)
+        out.append(raw)
+    return np.array(out)
+
+
+@pytest.mark.slow
+def test_full_chain_position_fix():
+    rng = np.random.default_rng(42)
+    ephs = make_constellation(6, t_oe=T_OE)
+    rx = ps.geodetic_to_ecef(*TRUTH_LLA)
+
+    # Receiver timeline: 20 s starting t_rx0.  Each SV's NAV stream is
+    # [sf4, sf1, sf2, sf3]; t_rx0 is chosen so t_sv0 lands ~1.5 s before
+    # the next subframe boundary: the receiver locks during the sf4
+    # filler, then catches complete subframes 1-3 (6 s each).
+    duration = 20.0
+    n = int(duration * FS)
+    t_knots = np.linspace(0, duration, 41)
+
+    # t_sv ~= t_rx - 75 ms; 302488.525 is 1.475 s before the 302490 grid
+    t_rx0 = T_OE + 88.6
+    iq = np.zeros(n, dtype=np.complex64)
+    for k, eph in enumerate(ephs):
+        tsv_k = sv_time_knots(eph, rx, t_rx0 + t_knots)
+        poly = np.polynomial.Polynomial.fit(t_knots, tsv_k, deg=3)
+        t = np.arange(n, dtype=np.float64) / FS
+        tsv = poly(t)
+        # stream origin: the subframe boundary below t_sv0 (sf4 filler
+        # occupies [sf0, sf0+6); t_sv0 lands ~4.5 s into it)
+        sf0 = 6.0 * np.floor(tsv[0] / 6.0)
+        tow0 = int(sf0 / 6.0) + 1
+        frames = encode_subframes(eph, tow_start=tow0, sids=(4, 1, 2, 3))
+        stream = np.concatenate(frames)
+        iq += synth.synth_from_sv_time(
+            eph_prn(k), tsv, stream, sf0, FS, amplitude=1.0)
+    iq += (0.7 * (rng.standard_normal(n) + 1j * rng.standard_normal(n))
+           / np.sqrt(2)).astype(np.complex64)
+
+    cfg = ReceiverConfig(fs=FS, fc=FS / 4, max_fo=5000.0, fft_len=4096,
+                         snr_threshold=20.0)
+    recv = Receiver(cfg)
+    result = recv.process_iq(iq)
+
+    assert len(result.detections) >= 4, result.detections
+    decoded = [r for r in result.channels if r.eph.valid()]
+    assert len(decoded) >= 4, f"only {len(decoded)} ephemerides decoded"
+    assert result.solutions, "no PVT fix produced"
+    sol = result.solutions[-1]
+    err = np.linalg.norm(np.array([sol.x, sol.y, sol.z]) - np.array(rx))
+    assert err < 100.0, f"position error {err:.1f} m"
+    # receiver time recovered to ~ the code-tracking jitter level
+    # t_rx at the snapshot epoch: truth = t_rx0 + epoch*1ms
+    # (validated implicitly by err; explicit check on lat/lon)
+    assert abs(sol.lat_deg - TRUTH_LLA[0]) < 0.01
+    assert abs(sol.lon_deg - TRUTH_LLA[1]) < 0.01
+
+
+def eph_prn(k: int) -> int:
+    """PRN assignment for constellation index k."""
+    return k + 2  # PRNs 2..7

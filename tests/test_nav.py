@@ -1,0 +1,137 @@
+"""NAV bit/parity/ephemeris codec tests."""
+
+import numpy as np
+import pytest
+
+from tpu_gnss.constants import CODES_PER_BIT, PREAMBLE
+from tpu_gnss.nav import bits as nb
+from tpu_gnss.nav import ephemeris as ne
+from tpu_gnss.constants import PI_GPS
+
+# A realistic ephemeris (values in ICD ranges, exactly representable at
+# their scale factors after round-trip)
+EPH = ne.Ephemeris(
+    week=994, t_gd=2.0 ** -31 * 13, iodc=45, t_oc=16 * 23456,
+    a_f2=0.0, a_f1=2.0 ** -43 * -7, a_f0=2.0 ** -31 * 12345,
+    iode2=45, c_rs=2.0 ** -5 * 97, dn=2.0 ** -43 * PI_GPS * 12000,
+    m_0=2.0 ** -31 * PI_GPS * 123456789, c_uc=2.0 ** -29 * 55,
+    e=2.0 ** -33 * 42949672, c_us=2.0 ** -29 * 88,
+    sqrt_a=2.0 ** -19 * 2702921936, t_oe=16 * 23456,
+    c_ic=2.0 ** -29 * -20, omega_0=2.0 ** -31 * PI_GPS * -987654321,
+    c_is=2.0 ** -29 * 15, i_0=2.0 ** -31 * PI_GPS * 670000000,
+    c_rc=2.0 ** -5 * 6500, omega=2.0 ** -31 * PI_GPS * 444444444,
+    omega_dot=2.0 ** -43 * PI_GPS * -55000, iode3=45,
+    idot=2.0 ** -43 * PI_GPS * 1300)
+
+
+def test_parity_roundtrip(rng):
+    d29 = d30 = 0
+    for _ in range(20):
+        data = rng.integers(0, 2, 24).astype(np.uint8)
+        word = nb.encode_word(data, d29, d30)
+        src, n29, n30 = nb.decode_word(word, d29, d30)
+        np.testing.assert_array_equal(src, data)
+        d29, d30 = n29, n30
+
+
+def test_parity_detects_bit_flip(rng):
+    data = rng.integers(0, 2, 24).astype(np.uint8)
+    word = nb.encode_word(data, 0, 0)
+    for flip in (0, 7, 24, 29):
+        bad = word.copy()
+        bad[flip] ^= 1
+        src, _, _ = nb.decode_word(bad, 0, 0)
+        assert src is None
+
+
+def test_subframe_encode_frame_sync_decode():
+    frames = ne.encode_subframes(EPH, tow_start=17000)
+    stream = np.concatenate(frames)
+    found = nb.frame_sync(stream)
+    assert len(found) == 3
+    ids = [ne.subframe_id(f["data"]) for f in found]
+    assert ids == [1, 2, 3]
+    tows = [ne.tow_count(f["data"]) for f in found]
+    assert tows == [17000, 17001, 17002]
+
+
+def test_inverted_stream_decodes():
+    frames = ne.encode_subframes(EPH, tow_start=400)
+    stream = 1 - np.concatenate(frames)  # 180-degree phase ambiguity
+    found = nb.frame_sync(stream)
+    assert len(found) == 3
+    assert all(f["inverted"] for f in found)
+    got = ne.Ephemeris()
+    for f in found:
+        got.ingest(f["data"])
+    assert got.valid()
+    assert got.week == EPH.week
+
+
+def test_field_roundtrip_all():
+    frames = ne.encode_subframes(EPH, tow_start=1234)
+    got = ne.Ephemeris()
+    for tx in frames:
+        data = nb.check_subframe(tx, 0, 0)
+        assert data is not None
+        got.ingest(data)
+    assert got.valid()
+    for name in ne.FIELDS:
+        np.testing.assert_allclose(
+            getattr(got, name), getattr(EPH, name), rtol=0, atol=1e-300,
+            err_msg=name)
+
+
+def test_kepler_vs_closed_form():
+    """E - e*sin(E) == M must hold at the solver's tolerance."""
+    eph = ne.Ephemeris(sqrt_a=np.sqrt(26560e3), e=0.01, m_0=1.2345,
+                       dn=0.0, t_oe=0.0)
+    e_k = eph.eccentric_anomaly(100.0)
+    a = eph.sqrt_a ** 2
+    n = np.sqrt(ne.MU_EARTH / a ** 3)
+    m_k = eph.m_0 + n * 100.0
+    assert abs((e_k - eph.e * np.sin(e_k)) - m_k) < 1e-9
+
+
+def test_orbit_radius_and_clock():
+    """Orbit radius ~ semi-major axis; clock correction ~ a_f0."""
+    x, y, z = EPH.get_xyz(EPH.t_oe)
+    r = np.sqrt(x * x + y * y + z * z)
+    a = EPH.sqrt_a ** 2
+    assert abs(r - a) / a < 0.02  # e is small
+    dt = EPH.clock_correction(EPH.t_oc)
+    assert abs(dt - (EPH.a_f0 - EPH.t_gd)) < 1e-6
+
+
+def test_circular_orbit_period():
+    """Zero-eccentricity orbit returns to the same point after 2pi/n."""
+    eph = ne.Ephemeris(sqrt_a=np.sqrt(26560e3), e=0.0, i_0=0.96,
+                       omega_0=0.5, omega=0.3, m_0=0.1, t_oe=0.0)
+    a = eph.sqrt_a ** 2
+    period = 2 * np.pi / np.sqrt(ne.MU_EARTH / a ** 3)
+    x0, y0, z0 = eph.get_xyz(0.0)
+    # after one period the satellite is back in inertial space; ECEF
+    # rotated by OMEGA_E*period -> compare against the rotation
+    x1, y1, z1 = eph.get_xyz(period)
+    th = ne.OMEGA_E * period
+    xr = x0 * np.cos(th) + y0 * np.sin(th)
+    yr = -x0 * np.sin(th) + y0 * np.cos(th)
+    assert abs(x1 - xr) < 1.0 and abs(y1 - yr) < 1.0 and abs(z1 - z0) < 1e-6
+
+
+def test_bit_sync_and_bits(rng):
+    nav = 1.0 - 2.0 * rng.integers(0, 2, 30).astype(np.float64)
+    offset = 7
+    ip = np.repeat(nav, CODES_PER_BIT) * 1000.0
+    ip = np.concatenate([rng.normal(0, 1, offset) + 900.0 * np.sign(nav[0]),
+                         ip])  # partial first bit
+    est = nb.bit_sync(ip + rng.normal(0, 30, len(ip)))
+    assert est == offset % CODES_PER_BIT
+    bits = nb.bits_from_prompt(ip, est)
+    want = (nav[np.sign(nav[0]) == np.sign(nav[0])] < 0).astype(np.uint8)
+    np.testing.assert_array_equal(bits[:len(nav)], (nav < 0).astype(np.uint8))
+
+
+def test_tow_and_week_rollover():
+    assert ne.time_from_epoch(10.0, 604790.0) == pytest.approx(20.0)
+    assert ne.time_from_epoch(604790.0, 10.0) == pytest.approx(-20.0)

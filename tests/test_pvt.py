@@ -1,0 +1,147 @@
+"""PVT solver tests on synthetic constellations at known positions."""
+
+import numpy as np
+import pytest
+
+from tpu_gnss.constants import OMEGA_E, SPEED_OF_LIGHT, CHIP_RATE_HZ
+from tpu_gnss.nav.ephemeris import Ephemeris
+from tpu_gnss.pvt import solve as ps
+from tpu_gnss.signal import cacode
+
+
+def make_constellation(n=6, t_oe=302400.0):
+    """GPS-like orbits spread in plane/anomaly, mild clock terms."""
+    ephs = []
+    for k in range(n):
+        ephs.append(Ephemeris(
+            week=900, iodc=10 + k, iode2=10 + k, iode3=10 + k,
+            sqrt_a=np.sqrt(26560e3), e=0.01 + 0.001 * k,
+            i_0=0.958, omega_0=k * 2 * np.pi / n, omega=0.3 * k,
+            m_0=0.5 + k * 1.1, dn=4.3e-9, idot=2e-10,
+            omega_dot=-8.0e-9, c_rs=12.5, c_rc=200.0, c_uc=1e-6,
+            c_us=5e-6, c_ic=-5e-8, c_is=9e-8,
+            t_oe=t_oe, t_oc=t_oe, a_f0=1e-4 * (k - 2), a_f1=1e-11,
+            t_gd=4.6e-9))
+    return ephs
+
+
+def gen_measurements(ephs, rx_ecef, t_rx):
+    """Light-time-consistent uncorrected transmit times."""
+    rx = np.asarray(rx_ecef)
+    t_tx_raw = []
+    for eph in ephs:
+        t_tx = t_rx - 0.075
+        for _ in range(6):
+            svp = np.array(eph.get_xyz(t_tx))
+            th = (t_tx - t_rx) * OMEGA_E
+            ct, st = np.cos(th), np.sin(th)
+            eci = np.array([svp[0] * ct - svp[1] * st,
+                            svp[0] * st + svp[1] * ct, svp[2]])
+            r = np.linalg.norm(rx - eci)
+            t_tx = t_rx - r / SPEED_OF_LIGHT
+        # invert the SV clock correction: raw - corr(raw) = t_tx
+        raw = t_tx
+        for _ in range(4):
+            raw = t_tx + eph.clock_correction(raw)
+        t_tx_raw.append(raw)
+    return np.array(t_tx_raw)
+
+
+TRUTH_LLA = (52.95, -1.15, 48.0)  # Nottingham-ish
+T_RX = 302500.0
+
+
+def test_solve_recovers_position():
+    ephs = make_constellation(6)
+    rx = ps.geodetic_to_ecef(*TRUTH_LLA)
+    t_tx = gen_measurements(ephs, rx, T_RX)
+    sol = ps.solve_position(t_tx, ephs)
+    assert sol.converged
+    err = np.linalg.norm(np.array([sol.x, sol.y, sol.z]) - np.array(rx))
+    assert err < 2.0, f"position error {err:.2f} m"
+    assert abs(sol.t_rx - T_RX) < 1e-8
+    assert sol.iterations <= 8  # reference reports 5-6 typical
+    assert abs(sol.lat_deg - TRUTH_LLA[0]) < 1e-4
+    assert abs(sol.lon_deg - TRUTH_LLA[1]) < 1e-4
+    assert abs(sol.alt_m - TRUTH_LLA[2]) < 5.0
+
+
+def test_weights_prefer_strong_channels():
+    """A corrupted weak channel must not wreck a weighted solve."""
+    ephs = make_constellation(7)
+    rx = ps.geodetic_to_ecef(*TRUTH_LLA)
+    t_tx = gen_measurements(ephs, rx, T_RX)
+    t_tx[6] += 3e-7  # ~90 m error on one channel
+    w = np.array([1.0] * 6 + [1e-3])
+    sol = ps.solve_position(t_tx, ephs, w)
+    err = np.linalg.norm(np.array([sol.x, sol.y, sol.z]) - np.array(rx))
+    assert err < 3.0
+    sol_unw = ps.solve_position(t_tx, ephs)
+    err_unw = np.linalg.norm(
+        np.array([sol_unw.x, sol_unw.y, sol_unw.z]) - np.array(rx))
+    assert err < err_unw
+
+
+def test_snapshot_transmit_time_roundtrip():
+    eph = make_constellation(4)[0]
+    # t = tow*6 + bits/50 + ms*1e-3 + chips/CPS + phase
+    snap = ps.Snapshot(eph=eph, tow=50000, bits=17, ms=7,
+                       g1=int(cacode.g1_state_table()[555]),
+                       ca_phase=13.0)
+    want = (50000 * 6 + 17 / 50.0 + 7e-3 + 555 / CHIP_RATE_HZ
+            + 13.0 * 2 ** -6 / CHIP_RATE_HZ)
+    assert snap.transmit_time() == pytest.approx(want, abs=1e-12)
+
+
+def test_solve_snapshots_flow():
+    ephs = make_constellation(5)
+    rx = ps.geodetic_to_ecef(*TRUTH_LLA)
+    t_tx = gen_measurements(ephs, rx, T_RX)
+    snaps = []
+    for t, eph in zip(t_tx, ephs):
+        tow = int(t // 6)
+        rem = t - tow * 6
+        bits = int(rem * 50)
+        rem -= bits / 50.0
+        ms = int(rem * 1000)
+        rem -= ms * 1e-3
+        chips = int(rem * CHIP_RATE_HZ)
+        rem -= chips / CHIP_RATE_HZ
+        phase = rem * CHIP_RATE_HZ * 64
+        snaps.append(ps.Snapshot(
+            eph=eph, power=1.0, tow=tow, bits=bits, ms=ms,
+            g1=int(cacode.g1_state_table()[chips % 1023]),
+            chips=chips, ca_phase=phase))
+    # chips>=1023 cannot come from a G1 readout; keep value consistent
+    for s in snaps:
+        if s.chips >= 1023:
+            s.g1 = None
+    sol = ps.solve_snapshots(snaps)
+    assert sol is not None
+    err = np.linalg.norm(
+        np.array([sol.x, sol.y, sol.z]) - np.array(rx))
+    assert err < 2.0
+
+
+def test_too_few_channels():
+    ephs = make_constellation(3)
+    with pytest.raises(ValueError):
+        ps.solve_position(np.zeros(3) + 302400.0, ephs)
+    assert ps.solve_snapshots([]) is None
+
+
+def test_invalid_ephemeris_dropped():
+    ephs = make_constellation(5)
+    ephs[0].iode3 = 99  # inconsistent IOD -> invalid
+    snaps = [ps.Snapshot(eph=e, tow=50000, chips=100) for e in ephs]
+    assert ps.solve_snapshots(snaps) is None or True  # must not crash
+
+
+def test_latlonalt_roundtrip():
+    for lla in [(0.0, 0.0, 100.0), (45.0, 120.0, 1000.0),
+                (-33.9, 18.4, 7.0), (52.95, -1.15, 48.0)]:
+        xyz = ps.geodetic_to_ecef(*lla)
+        lat, lon, alt = ps.lat_lon_alt(*xyz)
+        assert abs(np.degrees(lat) - lla[0]) < 1e-6
+        assert abs(np.degrees(lon) - lla[1]) < 1e-6
+        assert abs(alt - lla[2]) < 0.01

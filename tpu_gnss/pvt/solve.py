@@ -1,0 +1,174 @@
+"""PVT: transmit-time reconstruction + weighted Gauss-Newton position solve.
+
+Mirrors the reference solver's structure (reference: c/solve.cpp): per-
+channel transmit-time reconstruction from counter snapshots, SV clock
+correction and orbit evaluation, iterative weighted least squares with
+per-iteration ECI rotation of satellite positions, and WGS-84 geodetic
+conversion — but uses ``np.linalg.solve`` on the weighted normal equations
+instead of the reference's hand-expanded 4x4 determinant inverse
+(c/solve.cpp:211-235), float64 on host (a 4-unknown problem at 0.25 Hz is
+not TPU work; the reference runs it on a Pi for the same reason).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Sequence
+
+import numpy as np
+
+from ..constants import (NAV_BPS, CHIP_RATE_HZ, OMEGA_E, SPEED_OF_LIGHT,
+                         WGS84_A, WGS84_E2)
+from ..nav.ephemeris import Ephemeris
+from ..signal import cacode
+
+MAX_ITER = 20  # reference: c/solve.cpp:15
+CONVERGENCE_M = 1.0
+
+
+@dataclasses.dataclass
+class Snapshot:
+    """Per-channel counter snapshot, the solver's raw input.
+
+    Field semantics follow the reference's SNAPSHOT/GetClock
+    (c/solve.cpp:24-30,118-133): the transmit time is reconstructed from
+    the NAV subframe TOW plus buffered bits, milliseconds, whole chips
+    (from a G1 register readout), and fractional code phase.
+    """
+    eph: Ephemeris
+    power: float = 1.0        # least-squares weight (signal power)
+    tow: int = 0              # TOW count of next unprocessed subframe
+    bits: int = 0             # NAV bits buffered past that subframe
+    ms: int = 0               # milliseconds since last bit (0..19)
+    g1: Optional[int] = None  # 10-bit G1 register snapshot (FPGA-style)
+    chips: int = 0            # alternative: chip count directly
+    ca_phase: float = 0.0     # fractional code phase, units of 2^-6 chip
+
+    def transmit_time(self) -> float:
+        """Uncorrected SV time at the snapshot (reference: c/solve.cpp:118-133)."""
+        chips = (cacode.chips_from_g1_state(self.g1)
+                 if self.g1 is not None else self.chips)
+        return (self.tow * 6.0
+                + self.bits / NAV_BPS
+                + self.ms * 1e-3
+                + chips / CHIP_RATE_HZ
+                + self.ca_phase * (2.0 ** -6) / CHIP_RATE_HZ)
+
+
+@dataclasses.dataclass
+class Solution:
+    x: float
+    y: float
+    z: float
+    t_bias: float
+    t_rx: float
+    iterations: int
+    converged: bool
+    lat_deg: float = 0.0
+    lon_deg: float = 0.0
+    alt_m: float = 0.0
+    n_sats: int = 0
+
+
+def solve_position(t_tx: np.ndarray, ephs: Sequence[Ephemeris],
+                   weights: Optional[np.ndarray] = None,
+                   x0: Optional[np.ndarray] = None) -> Solution:
+    """Weighted Gauss-Newton position/time solve.
+
+    Args:
+      t_tx: ``[n]`` uncorrected SV transmit times (s of week).
+      ephs: matching ephemerides.
+      weights: per-channel weights (reference uses signal power,
+        c/solve.cpp:160); default 1.
+    """
+    n = len(t_tx)
+    if n < 4:
+        raise ValueError(f"need >=4 channels, got {n}")
+    w = np.ones(n) if weights is None else np.asarray(weights, np.float64)
+
+    # SV clock correction + ECEF positions (reference: c/solve.cpp:157-172)
+    t_corr = np.array([t - e.clock_correction(t)
+                       for t, e in zip(t_tx, ephs)])
+    sv = np.array([e.get_xyz(t) for e, t in zip(ephs, t_corr)])
+
+    # starting receiver clock estimate: mean + 75 ms (c/solve.cpp:175-176)
+    t_pc = float(t_corr.mean() + 75e-3)
+
+    est = np.zeros(4) if x0 is None else np.asarray(x0, np.float64).copy()
+    converged = False
+    t_rx = t_pc
+    for it in range(1, MAX_ITER + 1):
+        t_rx = t_pc - est[3]
+        # Earth-rotation (ECI) correction per channel (20.3.3.4.3.3.2;
+        # reference: c/solve.cpp:185-189)
+        theta = (t_corr - t_rx) * OMEGA_E
+        ct, st = np.cos(theta), np.sin(theta)
+        sx = sv[:, 0] * ct - sv[:, 1] * st
+        sy = sv[:, 0] * st + sv[:, 1] * ct
+        sz = sv[:, 2]
+
+        dx, dy, dz = est[0] - sx, est[1] - sy, est[2] - sz
+        gr = np.sqrt(dx * dx + dy * dy + dz * dz)
+        d_pr = SPEED_OF_LIGHT * (t_rx - t_corr) - gr
+
+        jac = np.stack([dx / gr, dy / gr, dz / gr,
+                        np.full(n, SPEED_OF_LIGHT)], axis=1)
+        a = jac.T @ (w[:, None] * jac)
+        b = jac.T @ (w * d_pr)
+        step = np.linalg.solve(a, b)
+
+        if np.sqrt(step[:3] @ step[:3]) < CONVERGENCE_M:
+            converged = True
+            break
+        est += step
+
+    lat, lon, alt = lat_lon_alt(est[0], est[1], est[2])
+    return Solution(x=float(est[0]), y=float(est[1]), z=float(est[2]),
+                    t_bias=float(est[3]), t_rx=float(t_rx), iterations=it,
+                    converged=converged,
+                    lat_deg=float(np.degrees(lat)),
+                    lon_deg=float(np.degrees(lon)),
+                    alt_m=float(alt), n_sats=n)
+
+
+def solve_snapshots(snaps: Sequence[Snapshot],
+                    x0: Optional[np.ndarray] = None) -> Optional[Solution]:
+    """Reference-flow solve: snapshots -> clocks -> WLS (c/solve.cpp:297-317).
+
+    Channels whose ephemeris is not valid() are dropped; returns None when
+    fewer than 4 remain or the iteration hits the cap without converging,
+    matching the reference's skip conditions (c/solve.cpp:302-304).
+    """
+    good = [s for s in snaps if s.eph.valid()]
+    if len(good) < 4:
+        return None
+    t_tx = np.array([s.transmit_time() for s in good])
+    w = np.array([s.power for s in good])
+    sol = solve_position(t_tx, [s.eph for s in good], w, x0=x0)
+    return sol if sol.converged else None
+
+
+def lat_lon_alt(x: float, y: float, z: float) -> tuple[float, float, float]:
+    """WGS-84 ECEF -> geodetic, iterative (reference: c/solve.cpp:273-293)."""
+    p = np.sqrt(x * x + y * y)
+    lon = 2.0 * np.arctan2(y, x + p)
+    lat = np.arctan(z / (p * (1.0 - WGS84_E2)))
+    alt = 0.0
+    while True:
+        prev = alt
+        n = WGS84_A / np.sqrt(1.0 - WGS84_E2 * np.sin(lat) ** 2)
+        alt = p / np.cos(lat) - n
+        lat = np.arctan(z / (p * (1.0 - WGS84_E2 * n / (n + alt))))
+        if abs(alt - prev) < 1e-3:
+            return float(lat), float(lon), float(alt)
+
+
+def geodetic_to_ecef(lat_deg: float, lon_deg: float, alt_m: float
+                     ) -> tuple[float, float, float]:
+    """WGS-84 geodetic -> ECEF (test/util helper)."""
+    lat, lon = np.radians(lat_deg), np.radians(lon_deg)
+    n = WGS84_A / np.sqrt(1.0 - WGS84_E2 * np.sin(lat) ** 2)
+    x = (n + alt_m) * np.cos(lat) * np.cos(lon)
+    y = (n + alt_m) * np.cos(lat) * np.sin(lon)
+    z = (n * (1.0 - WGS84_E2) + alt_m) * np.sin(lat)
+    return float(x), float(y), float(z)

@@ -1,0 +1,220 @@
+"""Full offline receiver pipeline: capture in, position fixes out.
+
+The runtime layer replacing the reference's cooperative-coroutine
+scheduler + task zoo (reference: c/coroutines.cpp, c/main.cpp:66-68 — one
+search task, 12 channel tasks, one solve task round-robining on a Pi).
+Here the "tasks" are pipeline stages over arrays:
+
+  acquisition (device, batched)  ->  channel allocation (host)
+  tracking scan (device, chunked) -> NAV bit/frame decode (host)
+  ephemeris ingest               ->  PVT solve every 4 s (host)
+
+Channel-management semantics follow the reference: strongest detections
+fill the channel bank, a power watchdog frees dead channels and re-queues
+their PRN for search (reference: c/channel.cpp:211-254 SignalLost), and
+probation — a channel must decode parity-clean subframes before the
+solver trusts it (reference: c/channel.cpp:39,343,363) — maps to
+requiring a validated subframe + valid ephemeris per channel.
+
+Transmit-time reconstruction is code-locked: an unwrapped chip counter
+per channel (integrated from the tracked code rate) counts transmit time
+from the last decoded subframe boundary, the software analog of the
+reference's ms/bit counters + G1 snapshot arithmetic
+(reference: c/solve.cpp:118-133).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Iterator, List, Optional
+
+import numpy as np
+
+from .constants import CHIP_RATE_HZ, CODES_PER_BIT, CODE_LEN_CHIPS
+from .config import ReceiverConfig
+from .acquire.folded import FoldedSearcher
+from .nav import bits as nav_bits
+from .nav.ephemeris import Ephemeris, subframe_id, tow_count
+from .pvt import solve as pvt
+from .track import channel as tc
+
+
+@dataclasses.dataclass
+class ChannelRecord:
+    """Host-side per-channel bookkeeping (the CHANNEL struct analog)."""
+    ch: int
+    prn: int
+    start_epoch: int
+    ip_hist: list = dataclasses.field(default_factory=list)
+    code_freq_hist: list = dataclasses.field(default_factory=list)
+    code_phase0: float = 0.0      # chips at start_epoch
+    bit_offset: Optional[int] = None
+    bits: Optional[np.ndarray] = None
+    eph: Ephemeris = dataclasses.field(default_factory=Ephemeris)
+    subframes: list = dataclasses.field(default_factory=list)
+    last_subframe_bit: Optional[int] = None   # bit index of last subframe
+    last_tow: Optional[int] = None
+    lost: bool = False
+
+    def unwrapped_chips(self, fs: float) -> np.ndarray:
+        """Absolute chip count at each epoch start since start_epoch."""
+        cf = np.asarray(self.code_freq_hist, dtype=np.float64)
+        t_epoch = round(fs * 1e-3) / fs
+        return self.code_phase0 + np.concatenate(
+            [[0.0], np.cumsum(cf[:-1]) * t_epoch])
+
+
+@dataclasses.dataclass
+class ReceiverResult:
+    detections: list
+    channels: List[ChannelRecord]
+    solutions: List[pvt.Solution]
+
+
+class Receiver:
+    """Offline full-chain receiver for complex-baseband or 1-bit captures."""
+
+    def __init__(self, cfg: ReceiverConfig, pll_bn_hz: float = 18.0,
+                 dll_bn_hz: float = 2.0, n_coherent: int = 4,
+                 solve_interval_s: float = 4.0,
+                 los_power_ratio: float = 0.05,
+                 los_timeout_s: float = 2.0):
+        self.cfg = cfg
+        self.searcher = FoldedSearcher(cfg, n_coherent=n_coherent)
+        self.pll_gains = tc.second_order_gains(pll_bn_hz)
+        self.dll_gains = tc.second_order_gains(dll_bn_hz)
+        self.solve_interval_s = solve_interval_s
+        self.los_power_ratio = los_power_ratio
+        self.los_timeout_s = los_timeout_s
+
+    # ------------------------------------------------------------------
+    def process_iq(self, iq: np.ndarray, max_channels: Optional[int] = None,
+                   chunk_s: float = 2.0) -> ReceiverResult:
+        """Run the full chain over a host complex-baseband capture."""
+        import jax
+        import jax.numpy as jnp
+        from .utils.xfer import to_device_complex
+
+        cfg = self.cfg
+        p = round(cfg.fs * 1e-3)
+        n_epochs_total = len(iq) // p
+        max_channels = max_channels or cfg.num_chans
+
+        # --- 1. acquisition on the first coherent block ----------------
+        res = self.searcher.acquire(iq=np.asarray(iq[: self.searcher.block_len]))
+        dets = sorted(self.searcher.detections(res),
+                      key=lambda d: -d["snr"])[:max_channels]
+
+        # --- 2. channel bank allocation --------------------------------
+        n_chan = max(len(dets), 1)
+        state = tc.init_state(n_chan)
+        recs = []
+        for ch, d in enumerate(dets):
+            code_phase = d["ca_shift"] * CHIP_RATE_HZ / cfg.fs
+            state = tc.start_channel(state, ch, d["doppler_hz"], code_phase)
+            recs.append(ChannelRecord(ch=ch, prn=d["prn"], start_epoch=0,
+                                      code_phase0=code_phase))
+        tables = jnp.asarray(
+            tc.channel_code_tables([r.prn for r in recs], n_chan))
+
+        # --- 3. tracking scan over the capture, chunked ----------------
+        chunk_ep = max(1, int(chunk_s * 1000))
+        iq_dev = to_device_complex(np.asarray(iq[: n_epochs_total * p]))
+        e0 = 0
+        while e0 < n_epochs_total:
+            e1 = min(e0 + chunk_ep, n_epochs_total)
+            seg = jax.lax.dynamic_slice_in_dim(iq_dev, e0 * p, (e1 - e0) * p)
+            state, out = tc.track_epochs(
+                seg, state, tables, fs=cfg.fs,
+                pll_gains=self.pll_gains, dll_gains=self.dll_gains)
+            ip = np.asarray(out.ip)
+            cf = np.asarray(out.code_freq)
+            for r in recs:
+                if not r.lost:
+                    r.ip_hist.extend(ip[:, r.ch].tolist())
+                    r.code_freq_hist.extend(cf[:, r.ch].tolist())
+            e0 = e1
+            self._watchdog(recs, p)
+
+        # --- 4. NAV decode per channel ---------------------------------
+        for r in recs:
+            self._decode_nav(r)
+
+        # --- 5. PVT solves ---------------------------------------------
+        solutions = []
+        step = int(self.solve_interval_s * 1000)
+        for e_snap in range(step, n_epochs_total, step):
+            sol = self._solve_at(recs, e_snap)
+            if sol is not None:
+                solutions.append(sol)
+
+        return ReceiverResult(detections=dets, channels=recs,
+                              solutions=solutions)
+
+    # ------------------------------------------------------------------
+    def _watchdog(self, recs, p) -> None:
+        """Free channels whose prompt power collapsed (SignalLost analog)."""
+        win = int(self.los_timeout_s * 1000)
+        for r in recs:
+            if r.lost or len(r.ip_hist) < 2 * win:
+                continue
+            ip = np.asarray(r.ip_hist)
+            ref_pwr = float(np.mean(np.square(ip[win // 2: win])))
+            cur_pwr = float(np.mean(np.square(ip[-win:])))
+            if ref_pwr > 0 and cur_pwr < self.los_power_ratio * ref_pwr:
+                r.lost = True
+
+    def _decode_nav(self, r: ChannelRecord) -> None:
+        ip = np.asarray(r.ip_hist)
+        if len(ip) < 40 * CODES_PER_BIT:
+            return
+        # bit sync on the post-pull-in stream, but bit indices must stay
+        # aligned to epoch 0 for transmit-time bookkeeping
+        skip = 600
+        skip -= skip % CODES_PER_BIT
+        off = nav_bits.bit_sync(ip[skip:])
+        r.bit_offset = off
+        bits = nav_bits.bits_from_prompt(ip[skip:], off)
+        r.bits = bits
+        frames = nav_bits.frame_sync(bits)
+        for f in frames:
+            sid = r.eph.ingest(f["data"])
+            # absolute epoch at which this subframe's first bit begins
+            bit_epoch = skip + off + f["start"] * CODES_PER_BIT
+            r.subframes.append(dict(sid=sid, tow=r.eph.tow,
+                                    bit_epoch=bit_epoch))
+            r.last_subframe_bit = bit_epoch
+            r.last_tow = r.eph.tow
+
+    def _solve_at(self, recs, e_snap: int) -> Optional[pvt.Solution]:
+        """Assemble a consistent snapshot at epoch ``e_snap`` and solve.
+
+        All channels are sampled at the same receiver epoch — the trivial
+        array analog of the reference's spi_hog atomic multi-channel clock
+        capture (reference: c/solve.cpp:62-85).
+        """
+        t_tx, ephs, weights = [], [], []
+        for r in recs:
+            if (r.last_tow is None or not r.eph.valid()
+                    or r.last_subframe_bit is None
+                    or e_snap >= len(r.ip_hist)
+                    or r.last_subframe_bit >= e_snap):
+                continue
+            chips = r.unwrapped_chips(self.cfg.fs)
+            a_snap = chips[e_snap]
+            # chip count at the subframe-start bit edge: nearest code-period
+            # boundary on the 20-period bit grid
+            a_bit = chips[r.last_subframe_bit]
+            n_per = round(a_bit / CODE_LEN_CHIPS)
+            # TOW names the start of the NEXT subframe -> this one is tow-1
+            t0 = (r.last_tow - 1) * 6.0
+            t = t0 + (a_snap - n_per * CODE_LEN_CHIPS) / CHIP_RATE_HZ
+            t_tx.append(t)
+            ephs.append(r.eph)
+            ip = np.asarray(r.ip_hist[max(0, e_snap - 8): e_snap])
+            weights.append(float(np.mean(np.square(ip))))
+        if len(t_tx) < 4:
+            return None
+        sol = pvt.solve_position(np.asarray(t_tx), ephs,
+                                 np.asarray(weights))
+        return sol if sol.converged else None

@@ -130,6 +130,43 @@ def synth_baseband(svs: Sequence[SvSignal], fs: float, n_samples: int,
     return out.astype(np.complex64)
 
 
+def synth_from_sv_time(prn: int, t_sv: np.ndarray, nav_stream: np.ndarray,
+                       t_stream_origin: float, fs: float,
+                       amplitude: float = 1.0,
+                       carrier_l1: float = L1_HZ) -> np.ndarray:
+    """Synthesize one SV's complex baseband from its SV-clock timeline.
+
+    The fully-consistent generator for end-to-end receiver tests: given
+    the transmit (SV-clock) time ``t_sv[n]`` observed at each receiver
+    sample, the C/A code phase, NAV bit index and carrier phase are all
+    derived from the same timeline, so code-locked transmit-time
+    reconstruction and PVT close exactly.
+
+    Args:
+      t_sv: ``[n]`` float64 SV-clock seconds-of-week at each sample.
+      nav_stream: {0,1} NAV bits; bit b spans
+        ``t_stream_origin + [b, b+1) * 20 ms`` of SV time.
+      t_stream_origin: SV time of nav_stream bit 0 (a subframe boundary).
+      carrier_l1: carrier frequency used for the Doppler-consistent
+        baseband phase ``exp(-j 2π L1 (t - t_sv))``.
+    """
+    n = len(t_sv)
+    t_rx = np.arange(n, dtype=np.float64) / fs
+    rel = t_sv - t_stream_origin
+    chips_abs = rel * CHIP_RATE_HZ
+    chip_idx = np.floor(chips_abs).astype(np.int64)
+    code = 1.0 - 2.0 * cacode.code_table()[prn - 1][chip_idx % CODE_LEN_CHIPS
+                                                    ].astype(np.float64)
+    bit_idx = np.clip((rel * 50.0).astype(np.int64), 0, len(nav_stream) - 1)
+    data = 1.0 - 2.0 * np.asarray(nav_stream, np.float64)[bit_idx]
+    # carrier: phase advances with the propagation delay (t - t_sv);
+    # mod 1 keeps float64 fractional precision at L1 scale
+    cycles = -carrier_l1 * (t_rx - (t_sv - t_sv[0]) - t_rx[0])
+    cycles = cycles - np.floor(cycles)
+    carrier = np.exp(2j * np.pi * cycles)
+    return (amplitude * data * code * carrier).astype(np.complex64)
+
+
 def baseband_to_1bit_if(iq: np.ndarray, fc: float, fs: float) -> np.ndarray:
     """Up-mix complex baseband to a real IF and hard-limit to {0,1} bits."""
     n = np.arange(len(iq), dtype=np.float64)
