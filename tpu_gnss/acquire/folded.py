@@ -78,12 +78,23 @@ def fold_power_grid(iq: jnp.ndarray, code_ffts_p: jnp.ndarray,
     dops_p = jnp.concatenate([dops_hz, jnp.zeros(pad, dops_hz.dtype)])
     chunks = dops_p.reshape(-1, dop_chunk)
 
-    t = (jnp.arange(n, dtype=jnp.float32) / jnp.float32(fs))
+    # Factored Doppler phasor: with n = i + K*j the phase splits exactly,
+    # e^(-j2πf(i+Kj)/fs) = A[f,i] * B[f,j], so the wipe-off needs only
+    # K + n/K trig evaluations per Doppler instead of n (the per-sample
+    # trig otherwise dominates the whole grid on the VPU).
+    K = 256
+    nj = -(-n // K)
+    i_t = jnp.arange(K, dtype=jnp.float32) / jnp.float32(fs)
+    j_t = jnp.arange(nj, dtype=jnp.float32) * (K / fs)
+    iq_pad = jnp.pad(iq, (0, K * nj - n)).reshape(nj, K)
 
     def per_chunk(dop_c):
-        # exact wipe-off: [chunk, n]
-        ph = -2.0 * jnp.pi * dop_c[:, None] * t[None, :]
-        mixed = iq[None, :] * jax.lax.complex(jnp.cos(ph), jnp.sin(ph))
+        ph_a = -2.0 * jnp.pi * dop_c[:, None] * i_t[None, :]
+        ph_b = -2.0 * jnp.pi * dop_c[:, None] * j_t[None, :]
+        a = jax.lax.complex(jnp.cos(ph_a), jnp.sin(ph_a))  # [chunk, K]
+        b = jax.lax.complex(jnp.cos(ph_b), jnp.sin(ph_b))  # [chunk, nj]
+        mixed = (iq_pad[None, :, :] * b[:, :, None]) * a[:, None, :]
+        mixed = mixed.reshape(dop_chunk, K * nj)[:, :n]
         folded = mixed.reshape(dop_chunk, n_coherent, p).sum(axis=1)
         f = jnp.fft.fft(folded, axis=-1)                      # [chunk, P]
         prod = code_ffts_p[:, None, :] * jnp.conj(f)[None, :, :]
@@ -106,6 +117,49 @@ def reduce_grid(pwr: jnp.ndarray, dops_hz: jnp.ndarray) -> FoldedResult:
     take = lambda a: jnp.take_along_axis(a, best[:, None], 1)[:, 0]
     return FoldedResult(take(snr), dops_hz[best],
                         take(max_lag))
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("fs", "lo_rate", "n_coherent", "dop_chunk",
+                     "from_bits"))
+def _power_grid_jit(samples: jnp.ndarray, code_ffts_p: jnp.ndarray,
+                    dops_hz: jnp.ndarray, *, fs: float, lo_rate: float,
+                    n_coherent: int, dop_chunk: int,
+                    from_bits: bool) -> jnp.ndarray:
+    iq = (mix_baseband(samples, lo_rate) if from_bits
+          else samples.astype(jnp.complex64))
+    return fold_power_grid(iq, code_ffts_p, dops_hz, fs=fs,
+                           n_coherent=n_coherent, dop_chunk=dop_chunk)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("fs", "lo_rate", "n_coherent", "n_noncoherent",
+                     "dop_chunk", "from_bits"))
+def acquire_folded(samples: jnp.ndarray, code_ffts_p: jnp.ndarray,
+                   dops_hz: jnp.ndarray, *, fs: float, lo_rate: float,
+                   n_coherent: int, n_noncoherent: int = 1,
+                   dop_chunk: int = 64,
+                   from_bits: bool = False) -> FoldedResult:
+    """Fully-jitted folded acquisition: mix -> fold blocks -> reduce.
+
+    One compiled program end-to-end (some backends cannot execute eager
+    op-by-op dispatch at all); non-coherent blocks unroll statically.
+    """
+    if from_bits:
+        iq = mix_baseband(samples, lo_rate)
+    else:
+        iq = samples.astype(jnp.complex64)
+    p = code_ffts_p.shape[-1]
+    block = n_coherent * p
+    pwr = None
+    for b in range(n_noncoherent):
+        seg = jax.lax.dynamic_slice_in_dim(iq, b * block, block)
+        g = fold_power_grid(seg, code_ffts_p, dops_hz, fs=fs,
+                            n_coherent=n_coherent, dop_chunk=dop_chunk)
+        pwr = g if pwr is None else pwr + g
+    return reduce_grid(pwr, dops_hz)
 
 
 class FoldedSearcher:
@@ -132,25 +186,31 @@ class FoldedSearcher:
         self.dop_chunk = min(dop_chunk, len(self.dops_hz))
 
     # ------------------------------------------------------------------
-    def _iq_from_bits(self, bits) -> jnp.ndarray:
-        bits = jnp.asarray(bits, dtype=jnp.uint8)
-        return mix_baseband(bits, self.cfg.lo_rate)
+    def _prep(self, bits, iq, n_noncoherent: int):
+        """Validate input length; return (samples, from_bits)."""
+        need = n_noncoherent * self.block_len
+        if bits is not None:
+            samples = jnp.asarray(bits, dtype=jnp.uint8)
+            from_bits = True
+        elif isinstance(iq, np.ndarray):
+            from ..utils.xfer import to_device_complex
+            samples, from_bits = to_device_complex(iq), False
+        else:
+            samples, from_bits = iq, False
+        if samples.shape[-1] < need:
+            raise ValueError(
+                f"need {need} samples ({n_noncoherent} x {self.n_coherent} "
+                f"periods of {self.period}), got {samples.shape[-1]}")
+        return samples, from_bits
 
     def power_grid(self, bits=None, iq=None) -> jnp.ndarray:
         """[n_sv, n_dop, P] power grid for one coherent block."""
-        if iq is None:
-            iq = self._iq_from_bits(bits)
-        elif isinstance(iq, np.ndarray):
-            from ..utils.xfer import to_device_complex
-            iq = to_device_complex(iq)
-        if iq.shape[-1] < self.block_len:
-            raise ValueError(
-                f"need {self.block_len} samples "
-                f"({self.n_coherent} periods of {self.period}), "
-                f"got {iq.shape[-1]}")
-        return fold_power_grid(iq, self.code_ffts_p, self.dops_hz,
-                               fs=self.cfg.fs, n_coherent=self.n_coherent,
-                               dop_chunk=self.dop_chunk)
+        samples, from_bits = self._prep(bits, iq, 1)
+        return _power_grid_jit(samples, self.code_ffts_p, self.dops_hz,
+                               fs=self.cfg.fs, lo_rate=self.cfg.lo_rate,
+                               n_coherent=self.n_coherent,
+                               dop_chunk=self.dop_chunk,
+                               from_bits=from_bits)
 
     def acquire(self, bits=None, iq=None,
                 n_noncoherent: int = 1) -> FoldedResult:
@@ -159,23 +219,13 @@ class FoldedSearcher:
         With ``n_noncoherent > 1``, consecutive coherent blocks' power
         grids are summed before the peak search (weak-signal mode).
         """
-        if iq is None:
-            iq = self._iq_from_bits(bits)
-        elif isinstance(iq, np.ndarray):
-            from ..utils.xfer import to_device_complex
-            iq = to_device_complex(iq)
-        need = n_noncoherent * self.block_len
-        if iq.shape[-1] < need:
-            raise ValueError(
-                f"need {need} samples ({n_noncoherent} x {self.n_coherent} "
-                f"periods of {self.period}), got {iq.shape[-1]}")
-        pwr = None
-        for b in range(n_noncoherent):
-            seg = jax.lax.dynamic_slice_in_dim(
-                iq, b * self.block_len, self.block_len)
-            g = self.power_grid(iq=seg)
-            pwr = g if pwr is None else pwr + g
-        return reduce_grid(pwr, self.dops_hz)
+        samples, from_bits = self._prep(bits, iq, n_noncoherent)
+        return acquire_folded(samples, self.code_ffts_p, self.dops_hz,
+                              fs=self.cfg.fs, lo_rate=self.cfg.lo_rate,
+                              n_coherent=self.n_coherent,
+                              n_noncoherent=n_noncoherent,
+                              dop_chunk=self.dop_chunk,
+                              from_bits=from_bits)
 
     def detections(self, res: FoldedResult) -> list[dict]:
         snr = np.asarray(res.snr)

@@ -91,7 +91,6 @@ class Receiver:
     def process_iq(self, iq: np.ndarray, max_channels: Optional[int] = None,
                    chunk_s: float = 2.0) -> ReceiverResult:
         """Run the full chain over a host complex-baseband capture."""
-        import jax
         import jax.numpy as jnp
         from .utils.xfer import to_device_complex
 
@@ -118,12 +117,14 @@ class Receiver:
             tc.channel_code_tables([r.prn for r in recs], n_chan))
 
         # --- 3. tracking scan over the capture, chunked ----------------
+        # chunks are sliced host-side and transferred per chunk: eager
+        # device slicing is not portable (see utils.xfer notes)
         chunk_ep = max(1, int(chunk_s * 1000))
-        iq_dev = to_device_complex(np.asarray(iq[: n_epochs_total * p]))
+        iq_host = np.asarray(iq[: n_epochs_total * p])
         e0 = 0
         while e0 < n_epochs_total:
             e1 = min(e0 + chunk_ep, n_epochs_total)
-            seg = jax.lax.dynamic_slice_in_dim(iq_dev, e0 * p, (e1 - e0) * p)
+            seg = to_device_complex(iq_host[e0 * p: e1 * p])
             state, out = tc.track_epochs(
                 seg, state, tables, fs=cfg.fs,
                 pll_gains=self.pll_gains, dll_gains=self.dll_gains)
