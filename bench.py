@@ -28,8 +28,16 @@ BASELINE_SAMPLE_PRN_BIN_PER_S = 16e6
 
 
 def main() -> int:
+    import os
     import jax
     import jax.numpy as jnp
+    # persistent compile cache: repeat runs skip the (slow, occasionally
+    # flaky) remote compile on the tunneled TPU backend
+    cache_dir = os.environ.get("JAX_COMPILATION_CACHE_DIR",
+                               "/root/.jax_cache")
+    os.makedirs(cache_dir, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", cache_dir)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     from tpu_gnss.config import SYNTHETIC as cfg
     from tpu_gnss.acquire import search as S
 

@@ -1,0 +1,114 @@
+"""Observability: stage timers, throughput counters, channel dashboard.
+
+The reference's observability is printf tables and an LCD bar graph
+(reference: c/search_offline.cpp:264-287, c/user.cpp:117-201, UserStat
+c/gps.h:104-114).  Here: a lightweight metrics registry every pipeline
+stage can feed, per-stage samples/s throughput, and a terminal dashboard
+rendering per-channel signal bars — plus a hook into ``jax.profiler`` for
+real traces when wanted.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import time
+from collections import defaultdict
+from typing import Optional
+
+import numpy as np
+
+
+class Metrics:
+    """Process-wide stage timing + counter registry."""
+
+    def __init__(self):
+        self.timings = defaultdict(list)   # stage -> [seconds]
+        self.counters = defaultdict(float)  # name -> value
+
+    @contextlib.contextmanager
+    def stage(self, name: str, samples: Optional[int] = None):
+        t0 = time.perf_counter()
+        try:
+            yield
+        finally:
+            dt = time.perf_counter() - t0
+            self.timings[name].append(dt)
+            if samples is not None:
+                self.counters[f"{name}.samples"] += samples
+
+    def add(self, name: str, value: float = 1.0) -> None:
+        self.counters[name] += value
+
+    def throughput(self, name: str) -> Optional[float]:
+        """Samples/s for a stage fed with ``samples=``."""
+        total_t = sum(self.timings.get(name, []))
+        total_s = self.counters.get(f"{name}.samples", 0.0)
+        return (total_s / total_t) if total_t > 0 else None
+
+    def report(self) -> str:
+        lines = []
+        for name in sorted(self.timings):
+            ts = self.timings[name]
+            line = (f"{name:24s} n={len(ts):4d} total={sum(ts):8.3f}s "
+                    f"mean={np.mean(ts)*1e3:8.2f}ms")
+            tp = self.throughput(name)
+            if tp:
+                line += f"  {tp/1e6:9.2f} Msamp/s"
+            lines.append(line)
+        for name, v in sorted(self.counters.items()):
+            if not name.endswith(".samples"):
+                lines.append(f"{name:24s} = {v:g}")
+        return "\n".join(lines)
+
+
+METRICS = Metrics()
+
+
+@contextlib.contextmanager
+def device_trace(logdir: str):
+    """Capture a jax profiler trace around a block (view with TensorBoard
+    or xprof).  No-op fallback when the backend can't profile."""
+    import jax
+    try:
+        jax.profiler.start_trace(logdir)
+        started = True
+    except Exception:
+        started = False
+    try:
+        yield
+    finally:
+        if started:
+            try:
+                jax.profiler.stop_trace()
+            except Exception:
+                pass
+
+
+# ---------------------------------------------------------------------------
+# Channel dashboard (LCD bar-graph analog, reference: c/user.cpp:117-201)
+# ---------------------------------------------------------------------------
+
+def channel_bars(prns, powers, width: int = 40,
+                 lo_freqs=None, statuses=None) -> str:
+    """Render per-channel signal-strength bars as terminal text."""
+    powers = np.asarray(powers, np.float64)
+    rssi = np.sqrt(np.maximum(powers, 0.0))
+    top = rssi.max() if rssi.size and rssi.max() > 0 else 1.0
+    lines = []
+    for i, prn in enumerate(prns):
+        n = int(round(width * rssi[i] / top))
+        bar = "#" * n + "." * (width - n)
+        line = f"PRN {prn:2d} |{bar}| rssi {rssi[i]:8.0f}"
+        if lo_freqs is not None:
+            line += f"  dopp {lo_freqs[i]:+7.1f} Hz"
+        if statuses is not None:
+            line += f"  [{statuses[i]}]"
+        lines.append(line)
+    return "\n".join(lines)
+
+
+def solution_line(sol) -> str:
+    """One-line fix report (the reference's printf row,
+    c/solve.cpp:309-315)."""
+    return (f"{sol.n_sats},{sol.iterations:3d},{sol.t_bias:10.6f},"
+            f"{sol.lat_deg:10.5f},{sol.lon_deg:10.5f},{sol.alt_m:8.2f}")
