@@ -1,0 +1,81 @@
+"""Streaming source / prefetcher tests."""
+
+import numpy as np
+
+from tpu_gnss.config import ReceiverConfig, SYNTHETIC
+from tpu_gnss.io import loaders, stream
+from tpu_gnss.signal import synth
+
+SMALL = ReceiverConfig(fs=2.048e6, fc=0.512e6, max_fo=5000.0, fft_len=4096)
+
+
+def test_file_source_1bit_matches_loader(tmp_path, rng):
+    bits = rng.integers(0, 2, 16384).astype(np.uint8)
+    path = tmp_path / "cap.bin"
+    path.write_bytes(loaders.pack_1bit(bits))
+    src = stream.FileSource1Bit(str(path), SMALL, per_block_phase=True)
+    blocks = list(src.blocks(4096))
+    assert len(blocks) == 4
+    want = loaders.mix_1bit_block(bits[:4096], SMALL)
+    np.testing.assert_allclose(blocks[0], want, atol=1e-6)
+
+
+def test_file_source_continuous_phase(tmp_path, rng):
+    """Continuous mode: concatenated blocks == one whole-stream mix."""
+    bits = rng.integers(0, 2, 8192).astype(np.uint8)
+    path = tmp_path / "cap.bin"
+    path.write_bytes(loaders.pack_1bit(bits))
+    src = stream.FileSource1Bit(str(path), SMALL, per_block_phase=False)
+    got = np.concatenate(list(src.blocks(2048)))
+    want = loaders.mix_1bit_block(bits, SMALL)  # phase runs across all 8192
+    np.testing.assert_allclose(got, want, atol=1e-6)
+
+
+def test_iq_source(tmp_path, rng):
+    iq = rng.integers(-100, 100, 8192).astype(np.int8)
+    path = tmp_path / "iq.bin"
+    iq.tofile(path)
+    src = stream.IQFileSource(str(path), 2.048e6, dtype="int8",
+                              remove_dc=False)
+    blocks = list(src.blocks(1024))
+    assert len(blocks) == 4
+    np.testing.assert_allclose(blocks[0].real, iq[0:2048:2], atol=1e-6)
+
+
+def test_synth_source_phase_continuity():
+    """Blocks from SynthSource must be phase-continuous across boundaries."""
+    sv = synth.SvSignal(prn=4, doppler_hz=777.0, code_phase_chips=100.0)
+    src = stream.SynthSource([sv], 2.048e6, noise_std=0.0)
+    it = src.blocks(2048)
+    two = np.concatenate([next(it), next(it)])
+    whole = synth.synth_baseband([sv], 2.048e6, 4096, noise_std=0.0)
+    np.testing.assert_allclose(two, whole, atol=2e-3)
+
+
+def test_prefetcher_order(tmp_path, rng):
+    bits = rng.integers(0, 2, 4096 * 4).astype(np.uint8)
+    path = tmp_path / "cap.bin"
+    path.write_bytes(loaders.pack_1bit(bits))
+    src = stream.FileSource1Bit(str(path), SMALL)
+    direct = list(src.blocks(4096))
+    src2 = stream.FileSource1Bit(str(path), SMALL)
+    fetched = list(stream.Prefetcher(src2, 4096))
+    assert len(fetched) == len(direct)
+    for a, b in zip(fetched, direct):
+        np.testing.assert_array_equal(a, b)
+
+
+def test_receiver_process_source_smoke():
+    """Streaming receiver over a synth source: acquires and tracks."""
+    from tpu_gnss.receiver import Receiver
+    svs = [synth.SvSignal(prn=9, doppler_hz=500.0, code_phase_chips=300.0),
+           synth.SvSignal(prn=17, doppler_hz=-1200.0, code_phase_chips=10.0)]
+    src = stream.SynthSource(svs, SMALL.fs, noise_std=0.5)
+    recv = Receiver(SMALL)
+    out = recv.process_source(src, max_duration_s=1.0)
+    prns = sorted(d["prn"] for d in out.detections)
+    assert prns == [9, 17]
+    # both channels kept lock for the full second
+    for r in out.channels:
+        ip = np.asarray(r.ip_hist[-100:])
+        assert np.abs(ip).mean() > 0.4 * 2048

@@ -1,0 +1,90 @@
+"""Full-receiver CLI: capture file in, acquisition table + fixes out.
+
+The offline analog of the reference's live ``gps`` binary (main.cpp):
+acquisition, tracking, NAV/ephemeris decode, and PVT on a capture file,
+with the channel dashboard standing in for the LCD/UserStat UI
+(reference: c/user.cpp).
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+import numpy as np
+
+from ..config import ReceiverConfig
+from ..io.stream import FileSource1Bit, IQFileSource
+from ..receiver import Receiver
+from ..utils import metrics
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser(
+        prog="gps_receiver",
+        description="TPU-native full GPS receiver on a capture file")
+    p.add_argument("filename")
+    p.add_argument("fc", type=float, nargs="?", default=4.092e6)
+    p.add_argument("fs", type=float, nargs="?", default=5.456e6)
+    p.add_argument("max_fo", type=float, nargs="?", default=5000.0)
+    p.add_argument("--format", choices=["1bit", "iq8", "iqu8"],
+                   default="1bit")
+    p.add_argument("--duration", type=float, default=None,
+                   help="seconds of capture to process")
+    p.add_argument("--threshold", type=float, default=25.0)
+    p.add_argument("--channels", type=int, default=12)
+    p.add_argument("--checkpoint", default=None,
+                   help="write receiver state (npz) here at the end")
+    args = p.parse_args(argv)
+
+    cfg = ReceiverConfig(fs=args.fs, fc=args.fc, max_fo=args.max_fo,
+                         snr_threshold=args.threshold,
+                         num_chans=args.channels)
+    if args.format == "1bit":
+        src = FileSource1Bit(args.filename, cfg)
+    else:
+        src = IQFileSource(args.filename, args.fs,
+                           dtype="int8" if args.format == "iq8" else "uint8")
+
+    recv = Receiver(cfg)
+    with metrics.METRICS.stage("receiver.total"):
+        result = recv.process_source(src, max_duration_s=args.duration)
+
+    print(f"\nacquired {len(result.detections)} SVs:")
+    for d in result.detections:
+        print(f"  PRN {d['prn']:2d}  snr {d['snr']:7.1f}  "
+              f"dopp {d['doppler_hz']:+8.1f} Hz  ca {d['ca_shift']:5d}")
+
+    live = [r for r in result.channels if not r.lost]
+    if live:
+        prns = [r.prn for r in live]
+        pows = [float(np.mean(np.square(np.asarray(r.ip_hist[-50:]))))
+                if r.ip_hist else 0.0 for r in live]
+        stat = ["eph" if r.eph.valid() else
+                (f"sf{len(r.subframes)}" if r.subframes else "track")
+                for r in live]
+        print("\n" + metrics.channel_bars(prns, pows, statuses=stat))
+
+    if result.solutions:
+        print("\nfixes (n_sats, iters, t_bias, lat, lon, alt):")
+        for s in result.solutions:
+            print("  " + metrics.solution_line(s))
+    else:
+        print("\nno position fix (need >=4 decoded ephemerides; capture "
+              "must span >=3 subframes / ~18 s of NAV data)")
+
+    if args.checkpoint:
+        from ..utils.checkpoint import save_state
+        save_state(args.checkpoint,
+                   ephemerides={r.prn: r.eph for r in result.channels
+                                if r.eph.valid()},
+                   detections=result.detections,
+                   meta=dict(fs=cfg.fs, fc=cfg.fc, file=args.filename))
+        print(f"\nstate saved to {args.checkpoint}")
+
+    print("\n" + metrics.METRICS.report())
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -144,11 +144,91 @@ class Receiver:
         # --- 5. PVT solves ---------------------------------------------
         solutions = []
         step = int(self.solve_interval_s * 1000)
-        for e_snap in range(step, n_epochs_total, step):
+        snap_epochs = list(range(step, n_epochs_total, step))
+        if n_epochs_total - 2 not in snap_epochs and n_epochs_total > 2:
+            snap_epochs.append(n_epochs_total - 2)
+        for e_snap in snap_epochs:
             sol = self._solve_at(recs, e_snap)
             if sol is not None:
                 solutions.append(sol)
 
+        return ReceiverResult(detections=dets, channels=recs,
+                              solutions=solutions)
+
+    # ------------------------------------------------------------------
+    def process_source(self, source, max_duration_s: Optional[float] = None,
+                       max_channels: Optional[int] = None,
+                       chunk_s: float = 1.0) -> ReceiverResult:
+        """Streaming full chain over a :class:`tpu_gnss.io.stream` source.
+
+        Bounded memory: raw samples are consumed chunk-by-chunk; only the
+        per-epoch correlator outputs are retained (50 bytes/s/channel
+        scale — the same reduction the reference's FPGA integrate-and-dump
+        achieves before the Pi ever sees data).
+        """
+        import jax.numpy as jnp
+        from .io.stream import Prefetcher
+        from .utils.xfer import to_device_complex
+
+        cfg = self.cfg
+        p = round(cfg.fs * 1e-3)
+        chunk_len = max(1, int(chunk_s * 1000)) * p
+        blocks = iter(Prefetcher(source, chunk_len))
+
+        first = next(blocks, None)
+        if first is None:
+            return ReceiverResult(detections=[], channels=[], solutions=[])
+        assert len(first) >= self.searcher.block_len, \
+            "chunk_s too small for the acquisition block"
+
+        res = self.searcher.acquire(iq=first[: self.searcher.block_len])
+        dets = sorted(self.searcher.detections(res),
+                      key=lambda d: -d["snr"])[: max_channels or cfg.num_chans]
+        n_chan = max(len(dets), 1)
+        state = tc.init_state(n_chan)
+        recs = []
+        for ch, d in enumerate(dets):
+            code_phase = d["ca_shift"] * CHIP_RATE_HZ / cfg.fs
+            state = tc.start_channel(state, ch, d["doppler_hz"], code_phase)
+            recs.append(ChannelRecord(ch=ch, prn=d["prn"], start_epoch=0,
+                                      code_phase0=code_phase))
+        tables = jnp.asarray(
+            tc.channel_code_tables([r.prn for r in recs], n_chan))
+
+        n_epochs_total = 0
+        blk = first
+        while blk is not None:
+            n_ep = len(blk) // p
+            if n_ep == 0:
+                break
+            seg = to_device_complex(np.ascontiguousarray(blk[: n_ep * p]))
+            state, out = tc.track_epochs(
+                seg, state, tables, fs=cfg.fs,
+                pll_gains=self.pll_gains, dll_gains=self.dll_gains)
+            ip = np.asarray(out.ip)
+            cf = np.asarray(out.code_freq)
+            for r in recs:
+                if not r.lost:
+                    r.ip_hist.extend(ip[:, r.ch].tolist())
+                    r.code_freq_hist.extend(cf[:, r.ch].tolist())
+            n_epochs_total += n_ep
+            self._watchdog(recs, p)
+            if (max_duration_s is not None
+                    and n_epochs_total * 1e-3 >= max_duration_s):
+                break
+            blk = next(blocks, None)
+
+        for r in recs:
+            self._decode_nav(r)
+        solutions = []
+        step = int(self.solve_interval_s * 1000)
+        snap_epochs = list(range(step, n_epochs_total, step))
+        if n_epochs_total - 2 not in snap_epochs and n_epochs_total > 2:
+            snap_epochs.append(n_epochs_total - 2)
+        for e_snap in snap_epochs:
+            sol = self._solve_at(recs, e_snap)
+            if sol is not None:
+                solutions.append(sol)
         return ReceiverResult(detections=dets, channels=recs,
                               solutions=solutions)
 
