@@ -39,40 +39,39 @@ def main() -> int:
     jax.config.update("jax_compilation_cache_dir", cache_dir)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     from tpu_gnss.config import SYNTHETIC as cfg
-    from tpu_gnss.acquire import search as S
+    from tpu_gnss.acquire import folded as F
 
-    searcher = S.Searcher(cfg)
+    searcher = F.FoldedSearcher(cfg, n_coherent=4)
     rng = np.random.default_rng(0)
     n_blocks = 8
 
     bits_blocks = jnp.asarray(
-        rng.integers(0, 2, (n_blocks, cfg.fft_len), dtype=np.uint8))
-    lo_rate, lags, dop_chunk = cfg.lo_rate, cfg.lags, searcher.dop_chunk
+        rng.integers(0, 2, (n_blocks, searcher.block_len), dtype=np.uint8))
+    period = searcher.period
 
     @jax.jit
-    def pipeline(bits_blocks, code_ffts, dops):
-        def body(carry, bits):
-            bits = bits ^ carry  # chain: forces sequential real execution
-            iq = S.mix_baseband(bits, lo_rate)
-            res = S.acquire_from_fft(jnp.fft.fft(iq), code_ffts, dops,
-                                     lags=lags, dop_chunk=dop_chunk)
-            nxt = (res.ca_shift[0] & 1).astype(jnp.uint8)
-            return nxt, res.snr
-        carry, snrs = jax.lax.scan(body, jnp.uint8(0), bits_blocks)
-        return snrs
+    def step(blocks, carry, code_ffts_p, dops_hz):
+        # data-dependent carry chains reps so the (lazy) backend must
+        # really execute every rep sequentially
+        res = F.acquire_folded_batch(
+            blocks ^ carry, code_ffts_p, dops_hz, fs=cfg.fs,
+            lo_rate=cfg.lo_rate, n_coherent=searcher.n_coherent,
+            dop_chunk=searcher.dop_chunk, from_bits=True, period=period)
+        return (res.ca_shift[0, 0] & 1).astype(jnp.uint8), res.snr
 
-    # compile + first real execution
-    out = pipeline(bits_blocks, searcher.code_ffts, searcher.dops)
-    _ = np.asarray(out)  # force
+    carry, out = step(bits_blocks, jnp.uint8(0), searcher.code_ffts_p,
+                      searcher.dops_hz)
+    _ = np.asarray(out)  # force compile + first execution
 
-    reps = 3
+    reps = 4
     t0 = time.perf_counter()
     for _ in range(reps):
-        out = pipeline(bits_blocks, searcher.code_ffts, searcher.dops)
-        _ = np.asarray(out)  # force execution of all chained blocks
+        carry, out = step(bits_blocks, carry, searcher.code_ffts_p,
+                          searcher.dops_hz)
+    _ = np.asarray(out)  # force the whole chain
     dt = (time.perf_counter() - t0) / (reps * n_blocks)
 
-    grid = len(cfg.prns) * cfg.num_dop_bins * cfg.fft_len
+    grid = len(cfg.prns) * len(searcher.dops_hz) * searcher.block_len
     value = grid / dt
     print(json.dumps({
         "metric": "acquisition_throughput",
@@ -83,5 +82,34 @@ def main() -> int:
     return 0
 
 
+def _run_with_retries() -> int:
+    """Run the measurement in child processes with timeout + retry.
+
+    The tunneled TPU backend occasionally wedges (a killed process can
+    leave the relay unusable for ~a minute); a hung run would otherwise
+    leave no benchmark line at all.
+    """
+    import subprocess
+    import time as _time
+    for attempt in range(3):
+        try:
+            out = subprocess.run(
+                [sys.executable, "-u", __file__, "--inner"],
+                capture_output=True, text=True, timeout=180)
+            for line in out.stdout.splitlines():
+                if line.startswith("{"):
+                    print(line)
+                    return 0
+        except subprocess.TimeoutExpired:
+            pass
+        _time.sleep(45)  # let the device tunnel recover
+    print(json.dumps({"metric": "acquisition_throughput", "value": 0,
+                      "unit": "Msample*PRN*bin/s", "vs_baseline": 0,
+                      "error": "device unavailable after retries"}))
+    return 1
+
+
 if __name__ == "__main__":
-    sys.exit(main())
+    if "--inner" in sys.argv:
+        sys.exit(main())
+    sys.exit(_run_with_retries())

@@ -63,3 +63,27 @@ def test_short_input_raises():
     f = FoldedSearcher(SMALL, n_coherent=4)
     with pytest.raises(ValueError):
         f.acquire(bits=np.zeros(100, np.uint8))
+
+
+def test_batched_matches_single():
+    """Batched grid == per-block results."""
+    import jax.numpy as jnp
+    from tpu_gnss.acquire.folded import acquire_folded_batch
+    cfg = SMALL
+    f = FoldedSearcher(cfg, n_coherent=4)
+    rng = np.random.default_rng(5)
+    sv1 = synth.SvSignal(prn=11, doppler_hz=900.0, code_phase_chips=77.0)
+    iq1 = synth.synth_baseband([sv1], cfg.fs, f.block_len, noise_std=0.6,
+                               seed=1)
+    b1 = synth.baseband_to_1bit_if(iq1, cfg.fc, cfg.fs)
+    b2 = rng.integers(0, 2, f.block_len).astype(np.uint8)
+    batch = jnp.asarray(np.stack([b1, b2]))
+    res = acquire_folded_batch(batch, f.code_ffts_p, f.dops_hz,
+                               fs=cfg.fs, lo_rate=cfg.lo_rate,
+                               n_coherent=4, dop_chunk=f.dop_chunk,
+                               from_bits=True)
+    one = f.acquire(bits=b1)
+    assert int(res.ca_shift[0][10]) == int(one.ca_shift[10])
+    np.testing.assert_allclose(float(res.snr[0][10]), float(one.snr[10]),
+                               rtol=1e-5)
+    assert float(np.max(np.asarray(res.snr[1]))) < 25

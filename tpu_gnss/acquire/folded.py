@@ -52,6 +52,33 @@ def period_replicas_np(fs: float, prns: tuple[int, ...]) -> np.ndarray:
     return cacode.resample(chips, fs, p)
 
 
+def _smooth_2_5(n: int) -> bool:
+    """True if n factors into 2s and 5s only (native-radix-fast FFT)."""
+    for f in (2, 5):
+        while n % f == 0:
+            n //= f
+    return n == 1
+
+
+def fft_len_for_period(p: int) -> int:
+    """Transform length for a period-P circular correlation.
+
+    P itself when 2/5-smooth (direct circular FFT is native-radix fast);
+    otherwise the next power of two >= 2P-1 — the P-point circular
+    correlation is then recovered exactly from the zero-padded LINEAR
+    correlation by wrapping: circ[n] = lin[n] + lin[n-P].  On this
+    hardware an awkward-size FFT (e.g. 8184 = 2^3*3*11*31) goes through
+    Bluestein and costs several times more than a 2x-longer radix-2
+    transform.
+    """
+    if _smooth_2_5(p):
+        return p
+    nf = 1
+    while nf < 2 * p - 1:
+        nf *= 2
+    return nf
+
+
 def doppler_grid_hz(cfg: ReceiverConfig,
                     spacing_hz: Optional[float] = None) -> np.ndarray:
     """Doppler grid in Hz; default spacing matches the reference bins."""
@@ -61,16 +88,21 @@ def doppler_grid_hz(cfg: ReceiverConfig,
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("fs", "n_coherent", "dop_chunk"))
+                   static_argnames=("fs", "n_coherent", "dop_chunk",
+                                    "period"))
 def fold_power_grid(iq: jnp.ndarray, code_ffts_p: jnp.ndarray,
                     dops_hz: jnp.ndarray, *, fs: float, n_coherent: int,
-                    dop_chunk: int = 64) -> jnp.ndarray:
+                    dop_chunk: int = 64,
+                    period: int = 0) -> jnp.ndarray:
     """Power grid ``[n_sv, n_dop, P]`` for one coherent block.
 
     ``iq``: ``[n_coherent * P]`` complex baseband samples.
-    ``code_ffts_p``: ``[n_sv, P]`` complex spectra of one-period replicas.
+    ``code_ffts_p``: ``[n_sv, NF]`` replica spectra at the (possibly
+    padded) transform length from :func:`fft_len_for_period`.
+    ``period``: P = fs/1000 (defaults to the transform length).
     """
-    p = code_ffts_p.shape[-1]
+    nf = code_ffts_p.shape[-1]
+    p = period or nf
     n = n_coherent * p
     iq = iq[:n]
     n_dop = dops_hz.shape[0]
@@ -96,14 +128,89 @@ def fold_power_grid(iq: jnp.ndarray, code_ffts_p: jnp.ndarray,
         mixed = (iq_pad[None, :, :] * b[:, :, None]) * a[:, None, :]
         mixed = mixed.reshape(dop_chunk, K * nj)[:, :n]
         folded = mixed.reshape(dop_chunk, n_coherent, p).sum(axis=1)
-        f = jnp.fft.fft(folded, axis=-1)                      # [chunk, P]
+        f = jnp.fft.fft(folded, n=nf, axis=-1)                # [chunk, NF]
         prod = code_ffts_p[:, None, :] * jnp.conj(f)[None, :, :]
-        corr = jnp.fft.ifft(prod, axis=-1)                    # [sv, chunk, P]
+        lin = jnp.fft.ifft(prod, axis=-1)                     # [sv, chunk, NF]
+        # exact circular correlation from the padded linear one
+        corr = lin[..., :p] if nf == p else lin[..., :p] + lin[..., nf - p:]
         return corr.real ** 2 + corr.imag ** 2
 
     pwr = jax.lax.map(per_chunk, chunks)        # [n_chunk, sv, chunk, P]
     pwr = jnp.moveaxis(pwr, 0, 1).reshape(code_ffts_p.shape[0], -1, p)
     return pwr[:, :n_dop, :]
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("fs", "n_coherent", "dop_chunk",
+                                    "period"))
+def fold_power_grid_batch(iq_blocks: jnp.ndarray, code_ffts_p: jnp.ndarray,
+                          dops_hz: jnp.ndarray, *, fs: float,
+                          n_coherent: int,
+                          dop_chunk: int = 64,
+                          period: int = 0) -> jnp.ndarray:
+    """Batched power grids: ``[B, n_sv, n_dop, P]`` for B coherent blocks.
+
+    All B blocks share each FFT call, amortizing the backend's fixed
+    per-call transform cost (measured ~8 ms/call on the tunneled TPU
+    regardless of batch) — the throughput configuration for capture
+    scanning and non-coherent accumulation.
+    """
+    b, n_in = iq_blocks.shape
+    nf = code_ffts_p.shape[-1]
+    p = period or nf
+    n = n_coherent * p
+    iq_blocks = iq_blocks[:, :n]
+    n_dop = dops_hz.shape[0]
+    pad = (-n_dop) % dop_chunk
+    dops_p = jnp.concatenate([dops_hz, jnp.zeros(pad, dops_hz.dtype)])
+    chunks = dops_p.reshape(-1, dop_chunk)
+
+    K = 256
+    nj = -(-n // K)
+    i_t = jnp.arange(K, dtype=jnp.float32) / jnp.float32(fs)
+    j_t = jnp.arange(nj, dtype=jnp.float32) * (K / fs)
+    iq_pad = jnp.pad(iq_blocks, ((0, 0), (0, K * nj - n))).reshape(b, nj, K)
+
+    def per_chunk(dop_c):
+        ph_a = -2.0 * jnp.pi * dop_c[:, None] * i_t[None, :]
+        ph_b = -2.0 * jnp.pi * dop_c[:, None] * j_t[None, :]
+        aa = jax.lax.complex(jnp.cos(ph_a), jnp.sin(ph_a))
+        bb = jax.lax.complex(jnp.cos(ph_b), jnp.sin(ph_b))
+        mixed = (iq_pad[:, None, :, :] * bb[None, :, :, None]
+                 ) * aa[None, :, None, :]
+        mixed = mixed.reshape(b, dop_chunk, K * nj)[..., :n]
+        folded = mixed.reshape(b, dop_chunk, n_coherent, p).sum(axis=2)
+        f = jnp.fft.fft(folded, n=nf, axis=-1)         # [B, chunk, NF]
+        prod = code_ffts_p[None, :, None, :] * jnp.conj(f)[:, None, :, :]
+        lin = jnp.fft.ifft(prod, axis=-1)              # [B, sv, chunk, NF]
+        corr = lin[..., :p] if nf == p else lin[..., :p] + lin[..., nf - p:]
+        return corr.real ** 2 + corr.imag ** 2
+
+    pwr = jax.lax.map(per_chunk, chunks)    # [n_chunk, B, sv, chunk, P]
+    pwr = jnp.moveaxis(pwr, 0, 2).reshape(
+        b, code_ffts_p.shape[0], -1, p)
+    return pwr[:, :, :n_dop, :]
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("fs", "lo_rate", "n_coherent", "dop_chunk",
+                     "from_bits", "period"))
+def acquire_folded_batch(samples: jnp.ndarray, code_ffts_p: jnp.ndarray,
+                         dops_hz: jnp.ndarray, *, fs: float, lo_rate: float,
+                         n_coherent: int, dop_chunk: int = 64,
+                         from_bits: bool = False,
+                         period: int = 0) -> FoldedResult:
+    """Batched block acquisition: ``samples [B, block_len]`` -> per-block
+    FoldedResult with ``[B, n_sv]`` fields."""
+    if from_bits:
+        iq = mix_baseband(samples, lo_rate)
+    else:
+        iq = samples.astype(jnp.complex64)
+    pwr = fold_power_grid_batch(iq, code_ffts_p, dops_hz, fs=fs,
+                                n_coherent=n_coherent, dop_chunk=dop_chunk,
+                                period=period)
+    return jax.vmap(lambda g: reduce_grid(g, dops_hz))(pwr)
 
 
 @jax.jit
@@ -122,26 +229,28 @@ def reduce_grid(pwr: jnp.ndarray, dops_hz: jnp.ndarray) -> FoldedResult:
 @functools.partial(
     jax.jit,
     static_argnames=("fs", "lo_rate", "n_coherent", "dop_chunk",
-                     "from_bits"))
+                     "from_bits", "period"))
 def _power_grid_jit(samples: jnp.ndarray, code_ffts_p: jnp.ndarray,
                     dops_hz: jnp.ndarray, *, fs: float, lo_rate: float,
                     n_coherent: int, dop_chunk: int,
-                    from_bits: bool) -> jnp.ndarray:
+                    from_bits: bool, period: int = 0) -> jnp.ndarray:
     iq = (mix_baseband(samples, lo_rate) if from_bits
           else samples.astype(jnp.complex64))
     return fold_power_grid(iq, code_ffts_p, dops_hz, fs=fs,
-                           n_coherent=n_coherent, dop_chunk=dop_chunk)
+                           n_coherent=n_coherent, dop_chunk=dop_chunk,
+                           period=period)
 
 
 @functools.partial(
     jax.jit,
     static_argnames=("fs", "lo_rate", "n_coherent", "n_noncoherent",
-                     "dop_chunk", "from_bits"))
+                     "dop_chunk", "from_bits", "period"))
 def acquire_folded(samples: jnp.ndarray, code_ffts_p: jnp.ndarray,
                    dops_hz: jnp.ndarray, *, fs: float, lo_rate: float,
                    n_coherent: int, n_noncoherent: int = 1,
                    dop_chunk: int = 64,
-                   from_bits: bool = False) -> FoldedResult:
+                   from_bits: bool = False,
+                   period: int = 0) -> FoldedResult:
     """Fully-jitted folded acquisition: mix -> fold blocks -> reduce.
 
     One compiled program end-to-end (some backends cannot execute eager
@@ -151,13 +260,14 @@ def acquire_folded(samples: jnp.ndarray, code_ffts_p: jnp.ndarray,
         iq = mix_baseband(samples, lo_rate)
     else:
         iq = samples.astype(jnp.complex64)
-    p = code_ffts_p.shape[-1]
+    p = period or code_ffts_p.shape[-1]
     block = n_coherent * p
     pwr = None
     for b in range(n_noncoherent):
         seg = jax.lax.dynamic_slice_in_dim(iq, b * block, block)
         g = fold_power_grid(seg, code_ffts_p, dops_hz, fs=fs,
-                            n_coherent=n_coherent, dop_chunk=dop_chunk)
+                            n_coherent=n_coherent, dop_chunk=dop_chunk,
+                            period=period)
         pwr = g if pwr is None else pwr + g
     return reduce_grid(pwr, dops_hz)
 
@@ -179,9 +289,11 @@ class FoldedSearcher:
         self.n_coherent = n_coherent
         self.period = int(cfg.fs / 1000)
         self.block_len = self.period * n_coherent
+        self.nf = fft_len_for_period(self.period)
         replicas = jnp.asarray(period_replicas_np(cfg.fs, cfg.prns))
+        nf = self.nf
         self.code_ffts_p = jax.jit(
-            lambda r: jnp.fft.fft(r.astype(jnp.complex64), axis=-1))(replicas)
+            lambda r: jnp.fft.fft(r.astype(jnp.complex64), n=nf, axis=-1))(replicas)
         self.dops_hz = jnp.asarray(doppler_grid_hz(cfg, dop_spacing_hz))
         self.dop_chunk = min(dop_chunk, len(self.dops_hz))
 
@@ -210,7 +322,7 @@ class FoldedSearcher:
                                fs=self.cfg.fs, lo_rate=self.cfg.lo_rate,
                                n_coherent=self.n_coherent,
                                dop_chunk=self.dop_chunk,
-                               from_bits=from_bits)
+                               from_bits=from_bits, period=self.period)
 
     def acquire(self, bits=None, iq=None,
                 n_noncoherent: int = 1) -> FoldedResult:
@@ -225,7 +337,7 @@ class FoldedSearcher:
                               n_coherent=self.n_coherent,
                               n_noncoherent=n_noncoherent,
                               dop_chunk=self.dop_chunk,
-                              from_bits=from_bits)
+                              from_bits=from_bits, period=self.period)
 
     def detections(self, res: FoldedResult) -> list[dict]:
         snr = np.asarray(res.snr)
