@@ -101,43 +101,10 @@ def fold_power_grid(iq: jnp.ndarray, code_ffts_p: jnp.ndarray,
     padded) transform length from :func:`fft_len_for_period`.
     ``period``: P = fs/1000 (defaults to the transform length).
     """
-    nf = code_ffts_p.shape[-1]
-    p = period or nf
-    n = n_coherent * p
-    iq = iq[:n]
-    n_dop = dops_hz.shape[0]
-    pad = (-n_dop) % dop_chunk
-    dops_p = jnp.concatenate([dops_hz, jnp.zeros(pad, dops_hz.dtype)])
-    chunks = dops_p.reshape(-1, dop_chunk)
-
-    # Factored Doppler phasor: with n = i + K*j the phase splits exactly,
-    # e^(-j2πf(i+Kj)/fs) = A[f,i] * B[f,j], so the wipe-off needs only
-    # K + n/K trig evaluations per Doppler instead of n (the per-sample
-    # trig otherwise dominates the whole grid on the VPU).
-    K = 256
-    nj = -(-n // K)
-    i_t = jnp.arange(K, dtype=jnp.float32) / jnp.float32(fs)
-    j_t = jnp.arange(nj, dtype=jnp.float32) * (K / fs)
-    iq_pad = jnp.pad(iq, (0, K * nj - n)).reshape(nj, K)
-
-    def per_chunk(dop_c):
-        ph_a = -2.0 * jnp.pi * dop_c[:, None] * i_t[None, :]
-        ph_b = -2.0 * jnp.pi * dop_c[:, None] * j_t[None, :]
-        a = jax.lax.complex(jnp.cos(ph_a), jnp.sin(ph_a))  # [chunk, K]
-        b = jax.lax.complex(jnp.cos(ph_b), jnp.sin(ph_b))  # [chunk, nj]
-        mixed = (iq_pad[None, :, :] * b[:, :, None]) * a[:, None, :]
-        mixed = mixed.reshape(dop_chunk, K * nj)[:, :n]
-        folded = mixed.reshape(dop_chunk, n_coherent, p).sum(axis=1)
-        f = jnp.fft.fft(folded, n=nf, axis=-1)                # [chunk, NF]
-        prod = code_ffts_p[:, None, :] * jnp.conj(f)[None, :, :]
-        lin = jnp.fft.ifft(prod, axis=-1)                     # [sv, chunk, NF]
-        # exact circular correlation from the padded linear one
-        corr = lin[..., :p] if nf == p else lin[..., :p] + lin[..., nf - p:]
-        return corr.real ** 2 + corr.imag ** 2
-
-    pwr = jax.lax.map(per_chunk, chunks)        # [n_chunk, sv, chunk, P]
-    pwr = jnp.moveaxis(pwr, 0, 1).reshape(code_ffts_p.shape[0], -1, p)
-    return pwr[:, :n_dop, :]
+    pwr = fold_power_grid_batch(iq[None, :], code_ffts_p, dops_hz, fs=fs,
+                                n_coherent=n_coherent, dop_chunk=dop_chunk,
+                                period=period)
+    return pwr[0]
 
 
 @functools.partial(jax.jit,
@@ -159,30 +126,38 @@ def fold_power_grid_batch(iq_blocks: jnp.ndarray, code_ffts_p: jnp.ndarray,
     nf = code_ffts_p.shape[-1]
     p = period or nf
     n = n_coherent * p
-    iq_blocks = iq_blocks[:, :n]
     n_dop = dops_hz.shape[0]
     pad = (-n_dop) % dop_chunk
     dops_p = jnp.concatenate([dops_hz, jnp.zeros(pad, dops_hz.dtype)])
     chunks = dops_p.reshape(-1, dop_chunk)
 
+    # Exact wipe-off + fold as one small matmul: phase is additive over
+    # periods, e^(-j2πf(cP+m)/fs) = E[f,c] * e_m[f,m], so
+    #   folded[f,m] = e_m[f,m] * Σ_c E[f,c] iq[cP+m]
+    # — the Σ_c is a [chunk, NC] x [NC, P] complex matmul instead of
+    # materializing a [chunk, n] mixed array per Doppler.  e_m itself is
+    # built from K + P/K trig evaluations via the same phase split.
+    iqp = iq_blocks[:, :n].reshape(b, n_coherent, p)
+    c_t = jnp.arange(n_coherent, dtype=jnp.float32) * (p / fs)
     K = 256
-    nj = -(-n // K)
+    njp = -(-p // K)
     i_t = jnp.arange(K, dtype=jnp.float32) / jnp.float32(fs)
-    j_t = jnp.arange(nj, dtype=jnp.float32) * (K / fs)
-    iq_pad = jnp.pad(iq_blocks, ((0, 0), (0, K * nj - n))).reshape(b, nj, K)
+    j_t = jnp.arange(njp, dtype=jnp.float32) * (K / fs)
 
     def per_chunk(dop_c):
+        ph_c = -2.0 * jnp.pi * dop_c[:, None] * c_t[None, :]
+        e_c = jax.lax.complex(jnp.cos(ph_c), jnp.sin(ph_c))  # [chunk, NC]
         ph_a = -2.0 * jnp.pi * dop_c[:, None] * i_t[None, :]
         ph_b = -2.0 * jnp.pi * dop_c[:, None] * j_t[None, :]
-        aa = jax.lax.complex(jnp.cos(ph_a), jnp.sin(ph_a))
-        bb = jax.lax.complex(jnp.cos(ph_b), jnp.sin(ph_b))
-        mixed = (iq_pad[:, None, :, :] * bb[None, :, :, None]
-                 ) * aa[None, :, None, :]
-        mixed = mixed.reshape(b, dop_chunk, K * nj)[..., :n]
-        folded = mixed.reshape(b, dop_chunk, n_coherent, p).sum(axis=2)
-        f = jnp.fft.fft(folded, n=nf, axis=-1)         # [B, chunk, NF]
+        aa = jax.lax.complex(jnp.cos(ph_a), jnp.sin(ph_a))   # [chunk, K]
+        bb = jax.lax.complex(jnp.cos(ph_b), jnp.sin(ph_b))   # [chunk, njp]
+        e_m = (bb[:, :, None] * aa[:, None, :]).reshape(
+            dop_chunk, njp * K)[:, :p]                       # [chunk, P]
+        base = jnp.einsum("dc,bcm->bdm", e_c, iqp)           # [B, chunk, P]
+        folded = e_m[None, :, :] * base
+        f = jnp.fft.fft(folded, n=nf, axis=-1)               # [B, chunk, NF]
         prod = code_ffts_p[None, :, None, :] * jnp.conj(f)[:, None, :, :]
-        lin = jnp.fft.ifft(prod, axis=-1)              # [B, sv, chunk, NF]
+        lin = jnp.fft.ifft(prod, axis=-1)                    # [B, sv, chunk, NF]
         corr = lin[..., :p] if nf == p else lin[..., :p] + lin[..., nf - p:]
         return corr.real ** 2 + corr.imag ** 2
 
@@ -211,6 +186,34 @@ def acquire_folded_batch(samples: jnp.ndarray, code_ffts_p: jnp.ndarray,
                                 n_coherent=n_coherent, dop_chunk=dop_chunk,
                                 period=period)
     return jax.vmap(lambda g: reduce_grid(g, dops_hz))(pwr)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("n_bits", "fs", "lo_rate", "n_coherent",
+                     "n_noncoherent", "dop_chunk", "period", "use_pallas"))
+def acquire_folded_packed(words: jnp.ndarray, code_ffts_p: jnp.ndarray,
+                          dops_hz: jnp.ndarray, *, n_bits: int, fs: float,
+                          lo_rate: float, n_coherent: int,
+                          n_noncoherent: int = 1, dop_chunk: int = 64,
+                          period: int = 0,
+                          use_pallas: bool = True) -> FoldedResult:
+    """Acquisition straight from plane-packed 1-bit words.
+
+    Captures transfer host->device bit-packed (8x smaller than unpacked
+    bytes) and are unpacked+mixed on device — by the fused Pallas kernel
+    on TPU, or the equivalent XLA path elsewhere.
+    """
+    from ..ops import onebit
+    if use_pallas:
+        iq = onebit.mix_packed_pallas(words, n_bits=n_bits, lo_rate=lo_rate)
+    else:
+        bits = onebit.unpack_bits_planes(words, n_bits)
+        iq = mix_baseband(bits.astype(jnp.uint8), lo_rate)
+    return acquire_folded(iq, code_ffts_p, dops_hz, fs=fs, lo_rate=lo_rate,
+                          n_coherent=n_coherent, n_noncoherent=n_noncoherent,
+                          dop_chunk=dop_chunk, from_bits=False,
+                          period=period)
 
 
 @jax.jit
@@ -323,6 +326,37 @@ class FoldedSearcher:
                                n_coherent=self.n_coherent,
                                dop_chunk=self.dop_chunk,
                                from_bits=from_bits, period=self.period)
+
+    def acquire_packed(self, words_or_bits, n_noncoherent: int = 1,
+                       use_pallas: Optional[bool] = None) -> FoldedResult:
+        """Acquire from bit-packed input (host bits or plane-packed words).
+
+        Host {0,1} bit arrays are plane-packed here; the device sees 1/8
+        the transfer volume of the uint8 path.
+        """
+        import numpy as _np
+        from ..ops import onebit
+        x = _np.asarray(words_or_bits)
+        if x.ndim == 1:  # raw bits -> pack
+            n_bits = len(x)
+            words = jnp.asarray(onebit.pack_bits_planes(x))
+        else:
+            words = jnp.asarray(x)
+            n_bits = words.shape[0] * 4096
+        need = n_noncoherent * self.block_len
+        if n_bits < need:
+            raise ValueError(f"need {need} samples, got {n_bits}")
+        if use_pallas is None:
+            plat = jax.devices()[0].platform
+            use_pallas = plat in ("tpu", "axon")
+        if words.shape[0] % 8:
+            words = jnp.pad(words, ((0, (-words.shape[0]) % 8), (0, 0)))
+        return acquire_folded_packed(
+            words, self.code_ffts_p, self.dops_hz, n_bits=need,
+            fs=self.cfg.fs, lo_rate=self.cfg.lo_rate,
+            n_coherent=self.n_coherent, n_noncoherent=n_noncoherent,
+            dop_chunk=self.dop_chunk, period=self.period,
+            use_pallas=use_pallas)
 
     def acquire(self, bits=None, iq=None,
                 n_noncoherent: int = 1) -> FoldedResult:
