@@ -95,14 +95,14 @@ def _run_with_retries() -> int:
         try:
             out = subprocess.run(
                 [sys.executable, "-u", __file__, "--inner"],
-                capture_output=True, text=True, timeout=180)
+                capture_output=True, text=True, timeout=150)
             for line in out.stdout.splitlines():
                 if line.startswith("{"):
                     print(line)
                     return 0
         except subprocess.TimeoutExpired:
             pass
-        _time.sleep(45)  # let the device tunnel recover
+        _time.sleep(30)  # let the device tunnel recover
     print(json.dumps({"metric": "acquisition_throughput", "value": 0,
                       "unit": "Msample*PRN*bin/s", "vs_baseline": 0,
                       "error": "device unavailable after retries"}))
