@@ -69,3 +69,36 @@ def test_block_doppler_sharded(fixture_block):
     # signal block detects PRN 17, noise blocks do not
     assert float(got.snr[0][16]) > 50
     assert float(np.max(np.asarray(got.snr[1]))) < 25
+
+
+def test_channel_sharded_tracking_matches_single():
+    """Tracking with channels sharded over 8 devices == single-device."""
+    from tpu_gnss.signal import synth
+    from tpu_gnss.track import channel as tc
+
+    fs = 2.048e6
+    svs = [synth.SvSignal(prn=p, doppler_hz=300.0 * i - 1000.0,
+                          code_phase_chips=100.0 * i)
+           for i, p in enumerate([2, 5, 9, 12, 17, 21, 25, 30])]
+    iq = synth.synth_baseband(svs, fs, 50 * 2048, noise_std=0.4, seed=31)
+    state = tc.init_state(8)
+    for ch, sv in enumerate(svs):
+        state = tc.start_channel(state, ch, sv.doppler_hz,
+                                 sv.code_phase_chips)
+    tables = jnp.asarray(tc.channel_code_tables([s.prn for s in svs], 8))
+    gains = (tc.second_order_gains(18.0), tc.second_order_gains(2.0))
+
+    want_state, want_out = tc.track_epochs(
+        jnp.asarray(iq), state, tables, fs=fs,
+        pll_gains=gains[0], dll_gains=gains[1])
+
+    mesh = shard.make_mesh(8, axes=("blk",))
+    got_state, got_out = shard.track_epochs_sharded(
+        jnp.asarray(iq), state, tables, mesh=mesh, fs=fs,
+        pll_gains=gains[0], dll_gains=gains[1])
+
+    np.testing.assert_allclose(np.asarray(got_out.ip),
+                               np.asarray(want_out.ip), rtol=1e-5, atol=1e-2)
+    np.testing.assert_allclose(np.asarray(got_state.code_phase),
+                               np.asarray(want_state.code_phase),
+                               rtol=0, atol=1e-3)

@@ -30,7 +30,6 @@ import sys
 import numpy as np
 
 from ..config import ReceiverConfig
-from ..io import loaders
 from .search_runner import run_capture
 
 

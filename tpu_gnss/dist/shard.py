@@ -87,6 +87,42 @@ def acquire_from_fft_sharded(data_fft: jnp.ndarray, code_ffts: jnp.ndarray,
     return fn(data_fft, code_ffts, dops)
 
 
+def track_epochs_sharded(samples: jnp.ndarray, state, code_tables, *,
+                         mesh: Mesh, axis: str = "blk", fs: float,
+                         pll_gains, dll_gains):
+    """Channel-sharded tracking: the channel bank split across devices.
+
+    Channels are independent given the shared sample stream (replicated —
+    it is small: 1 ms epochs), so the bank shards cleanly over one mesh
+    axis: each device scans its slice of the ChannelState pytree.  The
+    analog of model parallelism for the reference's 12 FPGA channel
+    slices (reference: c/gps.h:17; fabric utilization
+    "Homemade GPS Receiver.html":57).
+
+    n_chan must divide by mesh.shape[axis].
+    """
+    from ..track.channel import track_epochs
+
+    n_dev = mesh.shape[axis]
+    n_chan = code_tables.shape[0]
+    assert n_chan % n_dev == 0, (n_chan, n_dev)
+
+    def body(samples, state, tables):
+        return track_epochs(samples, state, tables, fs=fs,
+                            pll_gains=pll_gains, dll_gains=dll_gains)
+
+    state_spec = jax.tree.map(lambda _: P(axis), state)
+    out_spec = jax.tree.map(lambda _: P(None, axis),
+                            jax.eval_shape(body, samples, state,
+                                           code_tables)[1])
+    fn = jax.shard_map(
+        body, mesh=mesh,
+        in_specs=(P(), state_spec, P(axis)),
+        out_specs=(state_spec, out_spec),
+        check_vma=False)
+    return fn(samples, state, code_tables)
+
+
 @functools.partial(jax.jit,
                    static_argnames=("mesh", "lo_rate", "lags", "dop_chunk",
                                     "variant"))

@@ -11,7 +11,7 @@ from __future__ import annotations
 
 import numpy as np
 
-from ..constants import SPEED_OF_LIGHT, WGS84_A, WGS84_E2
+from ..constants import SPEED_OF_LIGHT
 
 SC = np.pi  # 1 semicircle = pi rad
 

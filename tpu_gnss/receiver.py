@@ -26,7 +26,7 @@ reference's ms/bit counters + G1 snapshot arithmetic
 from __future__ import annotations
 
 import dataclasses
-from typing import Iterator, List, Optional
+from typing import List, Optional
 
 import numpy as np
 
@@ -34,7 +34,7 @@ from .constants import CHIP_RATE_HZ, CODES_PER_BIT, CODE_LEN_CHIPS
 from .config import ReceiverConfig
 from .acquire.folded import FoldedSearcher
 from .nav import bits as nav_bits
-from .nav.ephemeris import Ephemeris, subframe_id, tow_count
+from .nav.ephemeris import Ephemeris
 from .pvt import solve as pvt
 from .track import channel as tc
 

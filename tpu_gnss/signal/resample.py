@@ -18,7 +18,6 @@ device ops:
 
 from __future__ import annotations
 
-import functools
 from typing import Optional
 
 import numpy as np
