@@ -44,8 +44,9 @@ def sv_time_knots(eph, rx_ecef, t_rx_knots):
     return np.array(out)
 
 
-@pytest.mark.slow
-def test_full_chain_position_fix():
+@pytest.fixture(scope="module")
+def scene():
+    """One 20 s consistent 6-SV scene shared by the e2e tests."""
     rng = np.random.default_rng(42)
     ephs = make_constellation(6, t_oe=T_OE)
     rx = ps.geodetic_to_ecef(*TRUTH_LLA)
@@ -76,7 +77,12 @@ def test_full_chain_position_fix():
             eph_prn(k), tsv, stream, sf0, FS, amplitude=1.0)
     iq += (0.7 * (rng.standard_normal(n) + 1j * rng.standard_normal(n))
            / np.sqrt(2)).astype(np.complex64)
+    return iq, ephs, rx
 
+
+@pytest.mark.slow
+def test_full_chain_position_fix(scene):
+    iq, ephs, rx = scene
     cfg = ReceiverConfig(fs=FS, fc=FS / 4, max_fo=5000.0, fft_len=4096,
                          snr_threshold=20.0)
     recv = Receiver(cfg)
@@ -99,3 +105,32 @@ def test_full_chain_position_fix():
 def eph_prn(k: int) -> int:
     """PRN assignment for constellation index k."""
     return k + 2  # PRNs 2..7
+
+
+@pytest.mark.slow
+def test_warm_start_short_capture(scene):
+    """With checkpointed ephemerides, 8 s of capture yields a fix
+    (cold needs ~20 s for subframes 1-3)."""
+    iq, ephs, rx = scene
+    from tpu_gnss.io.stream import SampleSource
+
+    class ArraySource(SampleSource):
+        def __init__(self, data, fs):
+            self.data, self.fs = data, fs
+        def blocks(self, block_len):
+            for i in range(0, len(self.data) - block_len + 1, block_len):
+                yield self.data[i:i + block_len]
+
+    warm = {k + 2: e for k, e in enumerate(ephs)}
+    cfg = ReceiverConfig(fs=FS, fc=FS / 4, max_fo=5000.0, fft_len=4096,
+                         snr_threshold=20.0)
+    recv = Receiver(cfg)
+    short = iq[: int(8.0 * FS)]
+    cold = recv.process_iq(short)
+    assert not cold.solutions, "cold start cannot fix in 8 s"
+    warm_res = Receiver(cfg).process_source(
+        ArraySource(short, FS), warm_ephemerides=warm)
+    assert warm_res.solutions, "warm start must fix within 8 s"
+    sol = warm_res.solutions[-1]
+    err = np.linalg.norm(np.array([sol.x, sol.y, sol.z]) - np.array(rx))
+    assert err < 150.0, f"warm-start position error {err:.1f} m"

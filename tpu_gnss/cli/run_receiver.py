@@ -35,6 +35,10 @@ def main(argv=None) -> int:
     p.add_argument("--channels", type=int, default=12)
     p.add_argument("--checkpoint", default=None,
                    help="write receiver state (npz) here at the end")
+    p.add_argument("--warm-start", default=None,
+                   help="load ephemerides from a previous checkpoint; a "
+                        "fix then needs one subframe (~7 s) instead of "
+                        "three (~20 s)")
     args = p.parse_args(argv)
 
     cfg = ReceiverConfig(fs=args.fs, fc=args.fc, max_fo=args.max_fo,
@@ -46,9 +50,16 @@ def main(argv=None) -> int:
         src = IQFileSource(args.filename, args.fs,
                            dtype="int8" if args.format == "iq8" else "uint8")
 
+    warm = None
+    if args.warm_start:
+        from ..utils.checkpoint import load_state
+        warm = load_state(args.warm_start).get("ephemerides")
+        print(f"warm start: ephemerides for PRNs {sorted(warm or {})}")
+
     recv = Receiver(cfg)
     with metrics.METRICS.stage("receiver.total"):
-        result = recv.process_source(src, max_duration_s=args.duration)
+        result = recv.process_source(src, max_duration_s=args.duration,
+                                     warm_ephemerides=warm)
 
     print(f"\nacquired {len(result.detections)} SVs:")
     for d in result.detections:
