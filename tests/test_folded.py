@@ -87,3 +87,20 @@ def test_batched_matches_single():
     np.testing.assert_allclose(float(res.snr[0][10]), float(one.snr[10]),
                                rtol=1e-5)
     assert float(np.max(np.asarray(res.snr[1]))) < 25
+
+
+def test_wide_doppler_folded():
+    """±100 kHz replay grid (BASELINE config #4) on the folded engine."""
+    from tpu_gnss.config import ReceiverConfig
+    cfg = ReceiverConfig(fs=2.048e6, fc=0.512e6, max_fo=100000.0,
+                         fft_len=4096)
+    f = FoldedSearcher(cfg, n_coherent=4)
+    assert len(f.dops_hz) == 2 * int(100000 / cfg.dop_bin_hz) + 1
+    dop_true = 150 * cfg.dop_bin_hz  # 75 kHz
+    sv = synth.SvSignal(prn=21, doppler_hz=dop_true, code_phase_chips=700.0)
+    iq = synth.synth_baseband([sv], cfg.fs, f.block_len, noise_std=0.5,
+                              seed=13)
+    bits = synth.baseband_to_1bit_if(iq, cfg.fc, cfg.fs)
+    res = f.acquire(bits=bits)
+    assert abs(float(res.doppler_hz[20]) - dop_true) <= cfg.dop_bin_hz / 2
+    assert float(res.snr[20]) > 50
