@@ -1,0 +1,61 @@
+"""gps_test-compatible CLI regression tests against the golden snapshot.
+
+The golden file is this framework's output on the checked-in reference
+capture (PRN 8 synthetic, README §1.1); the underlying math is tied to the
+reference's semantics by the loop-form oracle tests.  This test locks the
+CLI's block handling + table formatting against regressions.
+"""
+
+import contextlib
+import io
+import os
+
+import numpy as np
+
+GOLDEN = os.path.join(os.path.dirname(__file__), "golden",
+                      "gps_sig_tmp_compat.txt")
+
+
+def test_compat_cli_matches_golden(synth_fixture_path):
+    from tpu_gnss.cli.gps_test import main
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        main([synth_fixture_path, "2.046e6", "8.184e6", "5000",
+              "--max-runs", "2"])
+    got = buf.getvalue().splitlines()
+    start = next(i for i, l in enumerate(got) if l.startswith(" 0 satellite:"))
+    got = got[start:start + 12]
+    want = open(GOLDEN).read().splitlines()[:12]
+    assert got == want
+
+
+def test_golden_file_prn8_dominates():
+    lines = open(GOLDEN).read().splitlines()
+    sat_rows = [l for l in lines if "satellite:" in l]
+    assert len(sat_rows) == 12
+    for row in sat_rows:
+        svs = [int(x) for x in row.split(":")[1].split()]
+        assert 7 in svs, f"sv 7 (PRN 8) missing in {row!r}"
+
+
+def test_native_mode_runs(synth_fixture_path):
+    from tpu_gnss.cli.gps_test import main
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        main([synth_fixture_path, "2.046e6", "8.184e6", "5000",
+              "--mode", "native", "--max-runs", "1"])
+    out = buf.getvalue()
+    assert " 0 satellite:" in out
+    # native mode: PRN 8 (sv 7) detected on the very first block
+    sat_row = [l for l in out.splitlines() if l.startswith(" 0 satellite:")][0]
+    assert " 7 " in sat_row
+
+
+def test_quirk_ignore_max_fo(synth_fixture_path):
+    """The reference bug flag pins max_fo to 5000 regardless of argv."""
+    from tpu_gnss.cli.gps_test import main
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        main([synth_fixture_path, "2.046e6", "8.184e6", "999999",
+              "--quirk-ignore-max-fo", "--max-runs", "1"])
+    assert "max_fo=5000" in buf.getvalue()
