@@ -114,3 +114,25 @@ def test_carrier_pull_in():
     pulled = tc.carrier_pull_in(final)
     seed = float(np.asarray(pulled.carrier_seed)[0])
     assert abs(seed - 2500.0) < 25.0
+
+
+def test_epochs_per_step_locks():
+    """Decimated loop updates (4 epochs/step) still lock and track."""
+    import jax.numpy as jnp
+    n_epochs = 800
+    sv = synth.SvSignal(prn=7, doppler_hz=1234.0, code_phase_chips=500.25)
+    iq = synth.synth_baseband([sv], FS, n_epochs * 5456, noise_std=0.5,
+                              seed=0)
+    state = tc.init_state(1)
+    state = tc.start_channel(state, 0, 1234.0 + 150.0, 500.25 + 0.4)
+    tables = tc.channel_code_tables([7], 1)
+    final, out = tc.track_epochs(
+        jnp.asarray(iq), state, jnp.asarray(tables), fs=FS,
+        pll_gains=tc.second_order_gains(18.0, t_s=4e-3),
+        dll_gains=tc.second_order_gains(2.0, t_s=4e-3),
+        epochs_per_step=4)
+    assert out.ip.shape[0] == n_epochs  # per-epoch outputs preserved
+    cf = np.asarray(out.carrier_freq[:, 0])
+    assert abs(cf[-50:].mean() - 1234.0) < 5.0
+    err = _phase_err_chips(out, 0, sv, n_epochs)
+    assert np.abs(err[-200:]).max() < 0.25

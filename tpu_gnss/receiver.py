@@ -78,11 +78,14 @@ class Receiver:
                  dll_bn_hz: float = 2.0, n_coherent: int = 4,
                  solve_interval_s: float = 4.0,
                  los_power_ratio: float = 0.05,
-                 los_timeout_s: float = 2.0):
+                 los_timeout_s: float = 2.0,
+                 epochs_per_step: int = 1):
         self.cfg = cfg
         self.searcher = FoldedSearcher(cfg, n_coherent=n_coherent)
-        self.pll_gains = tc.second_order_gains(pll_bn_hz)
-        self.dll_gains = tc.second_order_gains(dll_bn_hz)
+        t_s = epochs_per_step * 1e-3
+        self.pll_gains = tc.second_order_gains(pll_bn_hz, t_s=t_s)
+        self.dll_gains = tc.second_order_gains(dll_bn_hz, t_s=t_s)
+        self.epochs_per_step = epochs_per_step
         self.solve_interval_s = solve_interval_s
         self.los_power_ratio = los_power_ratio
         self.los_timeout_s = los_timeout_s
@@ -98,6 +101,8 @@ class Receiver:
         p = round(cfg.fs * 1e-3)
         n_epochs_total = len(iq) // p
         max_channels = max_channels or cfg.num_chans
+        assert int(chunk_s * 1000) % self.epochs_per_step == 0, \
+            "chunk_s must cover whole tracking steps"
 
         # --- 1. acquisition on the first coherent block ----------------
         res = self.searcher.acquire(iq=np.asarray(iq[: self.searcher.block_len]))
@@ -127,7 +132,8 @@ class Receiver:
             seg = to_device_complex(iq_host[e0 * p: e1 * p])
             state, out = tc.track_epochs(
                 seg, state, tables, fs=cfg.fs,
-                pll_gains=self.pll_gains, dll_gains=self.dll_gains)
+                pll_gains=self.pll_gains, dll_gains=self.dll_gains,
+                epochs_per_step=self.epochs_per_step)
             ip = np.asarray(out.ip)
             cf = np.asarray(out.code_freq)
             for r in recs:
@@ -179,6 +185,8 @@ class Receiver:
 
         cfg = self.cfg
         p = round(cfg.fs * 1e-3)
+        assert int(chunk_s * 1000) % self.epochs_per_step == 0, \
+            "chunk_s must cover whole tracking steps"
         chunk_len = max(1, int(chunk_s * 1000)) * p
         blocks = iter(Prefetcher(source, chunk_len))
 
@@ -214,14 +222,15 @@ class Receiver:
             seg = to_device_complex(np.ascontiguousarray(blk[: n_ep * p]))
             state, out = tc.track_epochs(
                 seg, state, tables, fs=cfg.fs,
-                pll_gains=self.pll_gains, dll_gains=self.dll_gains)
+                pll_gains=self.pll_gains, dll_gains=self.dll_gains,
+                epochs_per_step=self.epochs_per_step)
             ip = np.asarray(out.ip)
             cf = np.asarray(out.code_freq)
             for r in recs:
                 if not r.lost:
                     r.ip_hist.extend(ip[:, r.ch].tolist())
                     r.code_freq_hist.extend(cf[:, r.ch].tolist())
-            n_epochs_total += n_ep
+            n_epochs_total += ip.shape[0]
             self._watchdog(recs, p)
             if (max_duration_s is not None
                     and n_epochs_total * 1e-3 >= max_duration_s):

@@ -110,71 +110,96 @@ def start_channel(state: ChannelState, ch: int, doppler_hz: float,
 @functools.partial(
     jax.jit,
     static_argnames=("fs", "pll_gains", "dll_gains", "fll_bn_hz",
-                     "corr_spacing", "carrier_aiding"))
+                     "corr_spacing", "carrier_aiding", "epochs_per_step"))
 def track_epochs(samples: jnp.ndarray, state: ChannelState,
                  code_tables: jnp.ndarray, *, fs: float,
                  pll_gains: tuple[float, float],
                  dll_gains: tuple[float, float],
                  fll_bn_hz: float = 3.0,
                  corr_spacing: float = 0.5,
-                 carrier_aiding: bool = True
+                 carrier_aiding: bool = True,
+                 epochs_per_step: int = 1
                  ) -> tuple[ChannelState, EpochOut]:
     """Run the channel bank over a span of complex baseband samples.
 
     Args:
       samples: ``[n_epochs * P]`` complex64 baseband (front-end mixed);
-        length is truncated to a whole number of epochs.
+        length is truncated to a whole number of steps.
       state: batched ChannelState.
       code_tables: ``[n_chan, 1023]`` bipolar float32 chips per channel.
       fs: sample rate; P = round(fs/1000) samples per epoch.
-      pll_gains / dll_gains: (k1, k2) from :func:`second_order_gains`.
+      pll_gains / dll_gains: (k1, k2) from :func:`second_order_gains`
+        called with ``t_s = epochs_per_step * 1e-3``.
       corr_spacing: early/late offset in chips.
       carrier_aiding: derive code-rate Doppler from the carrier loop
         (scaled by CHIP_RATE/L1), the standard aiding the reference
         approximates with its pull-in reseeding.
+      epochs_per_step: correlate this many 1 ms epochs per loop update
+        (discriminators average over them).  Correlator outputs stay
+        per-epoch, so NAV decode is unaffected; the loop update rate
+        drops to 1000/epochs_per_step Hz — keep it >= ~10x the loop
+        bandwidths.  Values > 1 amortize sequential-step overhead on
+        backends where scan iterations are expensive.
 
     Returns (final state, per-epoch outputs).
     """
     p = int(round(fs * 1e-3))
-    n_epochs = samples.shape[0] // p
-    blocks = samples[: n_epochs * p].reshape(n_epochs, p)
+    e_sub = epochs_per_step
+    step_len = p * e_sub
+    n_steps = samples.shape[0] // step_len
+    blocks = samples[: n_steps * step_len].reshape(n_steps, e_sub, p)
     pll_k1, pll_k2 = pll_gains
     dll_k1, dll_k2 = dll_gains
-    n = jnp.arange(p, dtype=jnp.float32)
+    # sample index within a step: [e_sub, P]
+    n = (jnp.arange(e_sub, dtype=jnp.float32)[:, None] * p
+         + jnp.arange(p, dtype=jnp.float32)[None, :])
     two_pi = 2.0 * jnp.pi
-    t_epoch = p / fs
+    t_epoch = step_len / fs  # loop update interval
 
     def epoch(st: ChannelState, blk: jnp.ndarray):
-        # --- correlators -------------------------------------------------
-        chips_t = st.code_phase[:, None] + (st.code_freq / fs)[:, None] * n
+        # --- correlators (all e_sub epochs at once) ----------------------
+        # [n_chan, e_sub, P]: NCO rates held constant within the step
+        chips_t = (st.code_phase[:, None, None]
+                   + (st.code_freq / fs)[:, None, None] * n[None, :, :])
+        ch_idx = jnp.arange(code_tables.shape[0])[:, None, None]
+
         def corr(offset):
             idx = jnp.floor(chips_t + offset).astype(jnp.int32) % CODE_LEN_CHIPS
-            code = jnp.take_along_axis(code_tables, idx, axis=1)
-            return (wiped * code).sum(axis=1)
+            code = code_tables[ch_idx, idx]           # [n_chan, e_sub, P]
+            return (wiped * code).sum(axis=-1)        # [n_chan, e_sub]
 
-        ph = st.carrier_phase[:, None] + (st.carrier_freq / fs)[:, None] * n
+        ph = (st.carrier_phase[:, None, None]
+              + (st.carrier_freq / fs)[:, None, None] * n[None, :, :])
         ang = (-two_pi) * ph
-        wiped = blk[None, :] * jax.lax.complex(jnp.cos(ang), jnp.sin(ang))
+        wiped = blk[None, :, :] * jax.lax.complex(jnp.cos(ang), jnp.sin(ang))
 
         cp = corr(0.0)
         ce = corr(corr_spacing)
         cl = corr(-corr_spacing)
-        ip, qp = cp.real, cp.imag
-        e_mag = jnp.abs(ce)
-        l_mag = jnp.abs(cl)
+        ip_all, qp_all = cp.real, cp.imag             # [n_chan, e_sub]
+        e_mag_all = jnp.abs(ce)
+        l_mag_all = jnp.abs(cl)
+        # last epoch feeds the FLL memory; discriminators average epochs
+        ip, qp = ip_all[:, -1], qp_all[:, -1]
+        e_mag, l_mag = e_mag_all.mean(1), l_mag_all.mean(1)
 
-        # --- discriminators ---------------------------------------------
+        # --- discriminators (averaged over the step's epochs) ------------
         # Costas: atan(Q/I), data-bit insensitive (rad)
-        pll_err = jnp.arctan(qp / jnp.where(jnp.abs(ip) < 1e-9, 1e-9, ip))
-        # FLL: data-insensitive cross/dot over consecutive prompts (Hz)
-        cross = st.ip_prev * qp - st.qp_prev * ip
-        dot = st.ip_prev * ip + st.qp_prev * qp
-        fll_err = jnp.arctan(cross / jnp.where(jnp.abs(dot) < 1e-9, 1e-9,
-                                               dot)) / (two_pi * t_epoch)
-        # no previous prompt on the very first active epoch of a channel:
-        # prev power 0 -> discriminator forced to 0
-        prev_pwr = st.ip_prev * st.ip_prev + st.qp_prev * st.qp_prev
-        fll_err = jnp.where(prev_pwr > 0, fll_err, 0.0)
+        pll_err = jnp.arctan(
+            qp_all / jnp.where(jnp.abs(ip_all) < 1e-9, 1e-9, ip_all)
+        ).mean(axis=1)
+        # FLL: cross/dot over consecutive 1 ms prompts (incl. the pair
+        # spanning the step boundary via the stored previous prompt)
+        ipp = jnp.concatenate([st.ip_prev[:, None], ip_all], axis=1)
+        qpp = jnp.concatenate([st.qp_prev[:, None], qp_all], axis=1)
+        cross = ipp[:, :-1] * qp_all - qpp[:, :-1] * ip_all
+        dot = ipp[:, :-1] * ip_all + qpp[:, :-1] * qp_all
+        fll_pairs = jnp.arctan(
+            cross / jnp.where(jnp.abs(dot) < 1e-9, 1e-9, dot)
+        ) / (two_pi * 1e-3)                         # pairs are 1 ms apart
+        prev_pwr = ipp[:, :-1] ** 2 + qpp[:, :-1] ** 2
+        valid = (prev_pwr > 0).astype(jnp.float32)
+        fll_err = (fll_pairs * valid).sum(1) / jnp.maximum(valid.sum(1), 1.0)
         # DLL: normalized noncoherent early-minus-late (chips)
         denom = jnp.maximum(e_mag + l_mag, 1e-9)
         dll_err = corr_spacing * (e_mag - l_mag) / denom
@@ -199,19 +224,29 @@ def track_epochs(samples: jnp.ndarray, state: ChannelState,
 
         # --- NCO phase advance -------------------------------------------
         carrier_phase = jnp.where(
-            st.active, (st.carrier_phase + carrier_freq / fs * p) % 1.0,
+            st.active,
+            (st.carrier_phase + carrier_freq / fs * step_len) % 1.0,
             st.carrier_phase)
         code_phase = jnp.where(
-            st.active, (st.code_phase + code_freq / fs * p) % CODE_LEN_CHIPS,
+            st.active,
+            (st.code_phase + code_freq / fs * step_len) % CODE_LEN_CHIPS,
             st.code_phase)
 
-        pwr = ip * ip + qp * qp
+        pwr = (ip_all * ip_all + qp_all * qp_all).mean(axis=1)
         pwr_avg = jnp.where(st.active,
                             0.875 * st.pwr_avg + 0.125 * pwr, st.pwr_avg)
 
-        out = EpochOut(ip=ip, qp=qp, e_mag=e_mag, l_mag=l_mag,
-                       carrier_freq=carrier_freq, code_freq=code_freq,
-                       code_phase=st.code_phase)
+        # per-epoch outputs [n_chan, e_sub]
+        bcast = lambda a: jnp.broadcast_to(a[:, None], ip_all.shape)
+        e_idx = jnp.arange(e_sub, dtype=jnp.float32)[None, :]
+        phase_per_epoch = (st.code_phase[:, None]
+                           + (code_freq / fs)[:, None] * (e_idx * p)
+                           ) % CODE_LEN_CHIPS
+        out = EpochOut(ip=ip_all, qp=qp_all, e_mag=e_mag_all,
+                       l_mag=l_mag_all,
+                       carrier_freq=bcast(carrier_freq),
+                       code_freq=bcast(code_freq),
+                       code_phase=phase_per_epoch)
         new = ChannelState(active=st.active, carrier_phase=carrier_phase,
                            carrier_seed=st.carrier_seed,
                            code_phase=code_phase, pll_acc=pll_acc,
@@ -221,7 +256,11 @@ def track_epochs(samples: jnp.ndarray, state: ChannelState,
                            qp_prev=jnp.where(st.active, qp, st.qp_prev))
         return new, out
 
-    return jax.lax.scan(epoch, state, blocks)
+    final, outs = jax.lax.scan(epoch, state, blocks)
+    # [n_steps, n_chan, e_sub] -> [n_steps * e_sub, n_chan]
+    flat = jax.tree.map(
+        lambda a: jnp.moveaxis(a, 2, 1).reshape(-1, a.shape[1]), outs)
+    return final, flat
 
 
 def channel_code_tables(prns, n_chan: int) -> np.ndarray:
