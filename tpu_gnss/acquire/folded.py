@@ -275,6 +275,40 @@ def acquire_folded(samples: jnp.ndarray, code_ffts_p: jnp.ndarray,
     return reduce_grid(pwr, dops_hz)
 
 
+def refine_peak(pwr: np.ndarray, dops_hz: np.ndarray, sv_row: int
+                ) -> dict:
+    """Sub-bin Doppler / sub-sample code-phase refinement by parabolic
+    interpolation around the power-grid peak.
+
+    The reference hands the tracker integer-bin estimates and lets the
+    loops pull in (c/channel.cpp:144-163); refined seeds cut pull-in time
+    and make the FLL capture range irrelevant.
+
+    Args:
+      pwr: ``[n_sv, n_dop, P]`` grid from :meth:`FoldedSearcher.power_grid`.
+      dops_hz: matching Doppler grid.
+      sv_row: SV row to refine.
+
+    Returns dict with doppler_hz, ca_shift (float, samples), snr.
+    """
+    g = np.asarray(pwr[sv_row])
+    n_dop, p = g.shape
+    d0, l0 = np.unravel_index(np.argmax(g), g.shape)
+
+    def parabola(ym, y0, yp):
+        den = ym - 2.0 * y0 + yp
+        return 0.0 if den >= 0 else 0.5 * (ym - yp) / den
+
+    dd = 0.0
+    if 0 < d0 < n_dop - 1:
+        dd = parabola(g[d0 - 1, l0], g[d0, l0], g[d0 + 1, l0])
+    dl = parabola(g[d0, (l0 - 1) % p], g[d0, l0], g[d0, (l0 + 1) % p])
+    step = float(dops_hz[1] - dops_hz[0]) if n_dop > 1 else 0.0
+    snr = float(g[d0, l0] / (g[d0].sum() / p))
+    return dict(doppler_hz=float(dops_hz[d0]) + dd * step,
+                ca_shift=(l0 + dl) % p, snr=snr)
+
+
 class FoldedSearcher:
     """High-level folded acquisition engine.
 
@@ -372,6 +406,26 @@ class FoldedSearcher:
                               n_noncoherent=n_noncoherent,
                               dop_chunk=self.dop_chunk,
                               from_bits=from_bits, period=self.period)
+
+    def detections_refined(self, pwr) -> list[dict]:
+        """Threshold + sub-bin refine straight from a power grid.
+
+        One host fetch of the ``[n_sv, n_dop, P]`` float grid buys
+        parabolic-refined Doppler/code-phase seeds for every detection.
+        """
+        pwr = np.asarray(pwr)
+        dops = np.asarray(self.dops_hz)
+        out = []
+        for i, prn in enumerate(self.cfg.prns):
+            ref = refine_peak(pwr, dops, i)
+            if ref["snr"] < self.cfg.snr_threshold:
+                continue
+            out.append(dict(prn=prn, sv=prn - 1, snr=ref["snr"],
+                            doppler_hz=ref["doppler_hz"],
+                            ca_shift=ref["ca_shift"],
+                            lo_shift=int(round(ref["doppler_hz"]
+                                               / self.cfg.dop_bin_hz))))
+        return out
 
     def detections(self, res: FoldedResult) -> list[dict]:
         snr = np.asarray(res.snr)

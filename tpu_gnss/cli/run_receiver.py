@@ -64,16 +64,20 @@ def main(argv=None) -> int:
     print(f"\nacquired {len(result.detections)} SVs:")
     for d in result.detections:
         print(f"  PRN {d['prn']:2d}  snr {d['snr']:7.1f}  "
-              f"dopp {d['doppler_hz']:+8.1f} Hz  ca {d['ca_shift']:5d}")
+              f"dopp {d['doppler_hz']:+8.1f} Hz  ca {d['ca_shift']:7.1f}")
 
     live = [r for r in result.channels if not r.lost]
     if live:
         prns = [r.prn for r in live]
         pows = [float(np.mean(np.square(np.asarray(r.ip_hist[-50:]))))
                 if r.ip_hist else 0.0 for r in live]
-        stat = ["eph" if r.eph.valid() else
-                (f"sf{len(r.subframes)}" if r.subframes else "track")
-                for r in live]
+        stat = []
+        for r in live:
+            base = ("eph" if r.eph.valid() else
+                    (f"sf{len(r.subframes)}" if r.subframes else "track"))
+            if r.cn0_dbhz and r.cn0_dbhz == r.cn0_dbhz:
+                base += f" {r.cn0_dbhz:.0f}dBHz"
+            stat.append(base)
         print("\n" + metrics.channel_bars(prns, pows, statuses=stat))
 
     if result.solutions:

@@ -46,6 +46,7 @@ class ChannelRecord:
     prn: int
     start_epoch: int
     ip_hist: list = dataclasses.field(default_factory=list)
+    qp_hist: list = dataclasses.field(default_factory=list)
     code_freq_hist: list = dataclasses.field(default_factory=list)
     code_phase0: float = 0.0      # chips at start_epoch
     bit_offset: Optional[int] = None
@@ -54,6 +55,7 @@ class ChannelRecord:
     subframes: list = dataclasses.field(default_factory=list)
     last_subframe_bit: Optional[int] = None   # bit index of last subframe
     last_tow: Optional[int] = None
+    cn0_dbhz: Optional[float] = None
     lost: bool = False
 
     def unwrapped_chips(self, fs: float) -> np.ndarray:
@@ -105,8 +107,8 @@ class Receiver:
             "chunk_s must cover whole tracking steps"
 
         # --- 1. acquisition on the first coherent block ----------------
-        res = self.searcher.acquire(iq=np.asarray(iq[: self.searcher.block_len]))
-        dets = sorted(self.searcher.detections(res),
+        pwr = self.searcher.power_grid(iq=np.asarray(iq[: self.searcher.block_len]))
+        dets = sorted(self.searcher.detections_refined(pwr),
                       key=lambda d: -d["snr"])[:max_channels]
 
         # --- 2. channel bank allocation --------------------------------
@@ -135,10 +137,12 @@ class Receiver:
                 pll_gains=self.pll_gains, dll_gains=self.dll_gains,
                 epochs_per_step=self.epochs_per_step)
             ip = np.asarray(out.ip)
+            qp = np.asarray(out.qp)
             cf = np.asarray(out.code_freq)
             for r in recs:
                 if not r.lost:
                     r.ip_hist.extend(ip[:, r.ch].tolist())
+                    r.qp_hist.extend(qp[:, r.ch].tolist())
                     r.code_freq_hist.extend(cf[:, r.ch].tolist())
             e0 = e1
             self._watchdog(recs, p)
@@ -196,8 +200,8 @@ class Receiver:
         assert len(first) >= self.searcher.block_len, \
             "chunk_s too small for the acquisition block"
 
-        res = self.searcher.acquire(iq=first[: self.searcher.block_len])
-        dets = sorted(self.searcher.detections(res),
+        pwr = self.searcher.power_grid(iq=first[: self.searcher.block_len])
+        dets = sorted(self.searcher.detections_refined(pwr),
                       key=lambda d: -d["snr"])[: max_channels or cfg.num_chans]
         n_chan = max(len(dets), 1)
         state = tc.init_state(n_chan)
@@ -225,10 +229,12 @@ class Receiver:
                 pll_gains=self.pll_gains, dll_gains=self.dll_gains,
                 epochs_per_step=self.epochs_per_step)
             ip = np.asarray(out.ip)
+            qp = np.asarray(out.qp)
             cf = np.asarray(out.code_freq)
             for r in recs:
                 if not r.lost:
                     r.ip_hist.extend(ip[:, r.ch].tolist())
+                    r.qp_hist.extend(qp[:, r.ch].tolist())
                     r.code_freq_hist.extend(cf[:, r.ch].tolist())
             n_epochs_total += ip.shape[0]
             self._watchdog(recs, p)
@@ -265,9 +271,12 @@ class Receiver:
                 r.lost = True
 
     def _decode_nav(self, r: ChannelRecord) -> None:
+        from .track.quality import cn0_nwpr
         ip = np.asarray(r.ip_hist)
         if len(ip) < 40 * CODES_PER_BIT:
             return
+        qp = np.asarray(r.qp_hist)
+        r.cn0_dbhz = cn0_nwpr(ip[-2000:], qp[-2000:])
         # bit sync on the post-pull-in stream, but bit indices must stay
         # aligned to epoch 0 for transmit-time bookkeeping
         skip = 600
