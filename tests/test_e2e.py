@@ -134,3 +134,30 @@ def test_warm_start_short_capture(scene):
     sol = warm_res.solutions[-1]
     err = np.linalg.norm(np.array([sol.x, sol.y, sol.z]) - np.array(rx))
     assert err < 150.0, f"warm-start position error {err:.1f} m"
+
+
+@pytest.mark.slow
+def test_full_chain_from_1bit_if(scene, tmp_path):
+    """Reference-style input path: 1-bit hard-limited IF capture file ->
+    FileSource1Bit -> full receiver -> fix."""
+    iq, ephs, rx = scene
+    from tpu_gnss.io import loaders
+    from tpu_gnss.io.stream import FileSource1Bit
+    from tpu_gnss.signal.synth import baseband_to_1bit_if
+
+    fc = FS / 4
+    bits = baseband_to_1bit_if(iq, fc, FS)
+    path = tmp_path / "cap_1bit.bin"
+    path.write_bytes(loaders.pack_1bit(bits))
+
+    cfg = ReceiverConfig(fs=FS, fc=fc, max_fo=5000.0, fft_len=4096,
+                         snr_threshold=17.0)
+    recv = Receiver(cfg)
+    res = recv.process_source(FileSource1Bit(str(path), cfg))
+    assert len(res.detections) >= 4, res.detections
+    decoded = [r for r in res.channels if r.eph.valid()]
+    assert len(decoded) >= 4, f"only {len(decoded)} ephemerides decoded"
+    assert res.solutions, "no fix through the 1-bit chain"
+    sol = res.solutions[-1]
+    err = np.linalg.norm(np.array([sol.x, sol.y, sol.z]) - np.array(rx))
+    assert err < 250.0, f"position error {err:.1f} m through 1-bit front end"

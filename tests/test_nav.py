@@ -135,3 +135,32 @@ def test_bit_sync_and_bits(rng):
 def test_tow_and_week_rollover():
     assert ne.time_from_epoch(10.0, 604790.0) == pytest.approx(20.0)
     assert ne.time_from_epoch(604790.0, 10.0) == pytest.approx(-20.0)
+
+
+def test_iono_page18_roundtrip():
+    eph = ne.Ephemeris(iodc=9, iode2=9, iode3=9)
+    eph.alpha = (2.0 ** -30 * 12, 2.0 ** -27 * -3, 2.0 ** -24 * 5,
+                 2.0 ** -24 * -1)
+    eph.beta = (2.0 ** 11 * 44, 2.0 ** 14 * -2, 2.0 ** 16 * 3,
+                2.0 ** 16 * -7)
+    frames = ne.encode_subframes(eph, tow_start=100, sids=(4,))
+    got = ne.Ephemeris()
+    data = nb.check_subframe(frames[0], 0, 0)
+    assert data is not None
+    sid = got.ingest(data)
+    assert sid == 4
+    assert got.alpha == pytest.approx(eph.alpha)
+    assert got.beta == pytest.approx(eph.beta)
+
+
+def test_iono_wrong_page_ignored():
+    eph = ne.Ephemeris()
+    eph.alpha = (1e-8,) * 4
+    frames = ne.encode_subframes(eph, tow_start=100, sids=(4,))
+    # corrupt the sv-id so it is not page 18
+    got = ne.Ephemeris()
+    data = nb.check_subframe(frames[0], 0, 0)
+    data = data.copy()
+    data[2 * 24 + 4] ^= 1  # flip an sv-id bit (word 3 bit 5)
+    got.ingest(data)
+    assert got.alpha == (0.0, 0.0, 0.0, 0.0)

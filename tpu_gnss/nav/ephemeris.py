@@ -260,15 +260,26 @@ def encode_subframes(eph: Ephemeris, tow_start: int,
         # word 2: HOW — TOW (17b), flags 0, subframe id
         _set_bits(data, [(2, 1, 17)], tow_start + k)
         _set_bits(data, [(2, 20, 22)], sid)
-        for name, (sf, segs, signed, scale) in FIELDS.items():
-            if sf != sid:
-                continue
-            raw = int(round(getattr(eph, name) / scale))
+
+        def put(name, value, table):
+            _, segs, signed, scale = table[name]
+            raw = int(round(value / scale))
             nbits = sum(lsb - msb + 1 for _, msb, lsb in segs)
             if signed and raw < 0:
                 raw += 1 << nbits
             assert 0 <= raw < (1 << nbits), f"{name} out of range"
             _set_bits(data, segs, raw)
+
+        for name, (sf, *_rest) in FIELDS.items():
+            if sf == sid:
+                put(name, getattr(eph, name), FIELDS)
+        if sid == 4:
+            # page 18: data ID 01 + sv-id 56 marks the ionosphere page
+            _set_bits(data, [(3, 1, 2)], 1)
+            _set_bits(data, [(3, 3, 8)], 56)
+            for i in range(4):
+                put(f"alpha{i}", eph.alpha[i], IONO_FIELDS)
+                put(f"beta{i}", eph.beta[i], IONO_FIELDS)
         # Words 2 and 10 end with D29=D30=0 per ICD, solved via the two
         # reserved t-bits (d23,d24) — this is what lets every subframe be
         # parity-seeded fresh from the preamble polarity.
