@@ -79,3 +79,41 @@ def test_receiver_process_source_smoke():
     for r in out.channels:
         ip = np.asarray(r.ip_hist[-100:])
         assert np.abs(ip).mean() > 0.4 * 2048
+
+
+def test_reacquisition_after_signal_loss():
+    """A vanished SV is dropped by the watchdog and re-acquired when it
+    returns (SignalLost -> SearchEnable loop analog)."""
+    from tpu_gnss.receiver import Receiver
+    from tpu_gnss.io.stream import SampleSource
+
+    fs = SMALL.fs
+    sv_a = synth.SvSignal(prn=9, doppler_hz=500.0, code_phase_chips=300.0)
+    sv_b = synth.SvSignal(prn=17, doppler_hz=-1200.0, code_phase_chips=10.0)
+    seg1 = synth.synth_baseband([sv_a, sv_b], fs, int(3.0 * fs),
+                                noise_std=0.4, seed=1)
+    # PRN 17 disappears for 4 s...
+    seg2 = synth.synth_baseband([sv_a], fs, int(4.0 * fs),
+                                noise_std=0.4, seed=2)
+    # ...and returns (fresh phase - a re-acquisition, not a reappearance)
+    sv_b2 = synth.SvSignal(prn=17, doppler_hz=-1200.0, code_phase_chips=555.0)
+    seg3 = synth.synth_baseband([sv_a, sv_b2], fs, int(4.0 * fs),
+                                noise_std=0.4, seed=3)
+    iq = np.concatenate([seg1, seg2, seg3])
+
+    class ArraySource(SampleSource):
+        def __init__(self, data, fs):
+            self.data, self.fs = data, fs
+        def blocks(self, block_len):
+            for i in range(0, len(self.data) - block_len + 1, block_len):
+                yield self.data[i:i + block_len]
+
+    recv = Receiver(SMALL, los_timeout_s=1.0, reacq_interval_s=2.0)
+    out = recv.process_source(ArraySource(iq, fs))
+    prn17 = [r for r in out.channels if r.prn == 17]
+    assert len(prn17) >= 2, "PRN 17 must be lost and re-acquired"
+    assert prn17[0].lost
+    re = prn17[-1]
+    assert re.start_epoch > 3000
+    ip = np.asarray(re.ip_hist[-100:])
+    assert np.abs(ip).mean() > 0.4 * 2048, "re-acquired channel must track"

@@ -81,7 +81,8 @@ class Receiver:
                  solve_interval_s: float = 4.0,
                  los_power_ratio: float = 0.05,
                  los_timeout_s: float = 2.0,
-                 epochs_per_step: int = 1):
+                 epochs_per_step: int = 1,
+                 reacq_interval_s: float = 5.0):
         self.cfg = cfg
         self.searcher = FoldedSearcher(cfg, n_coherent=n_coherent)
         t_s = epochs_per_step * 1e-3
@@ -91,6 +92,7 @@ class Receiver:
         self.solve_interval_s = solve_interval_s
         self.los_power_ratio = los_power_ratio
         self.los_timeout_s = los_timeout_s
+        self.reacq_interval_s = reacq_interval_s
 
     # ------------------------------------------------------------------
     def process_iq(self, iq: np.ndarray, max_channels: Optional[int] = None,
@@ -200,22 +202,50 @@ class Receiver:
         assert len(first) >= self.searcher.block_len, \
             "chunk_s too small for the acquisition block"
 
-        pwr = self.searcher.power_grid(iq=first[: self.searcher.block_len])
-        dets = sorted(self.searcher.detections_refined(pwr),
-                      key=lambda d: -d["snr"])[: max_channels or cfg.num_chans]
-        n_chan = max(len(dets), 1)
+        n_chan = max_channels or cfg.num_chans
         state = tc.init_state(n_chan)
-        recs = []
-        for ch, d in enumerate(dets):
-            code_phase = d["ca_shift"] * CHIP_RATE_HZ / cfg.fs
-            state = tc.start_channel(state, ch, d["doppler_hz"], code_phase)
-            rec = ChannelRecord(ch=ch, prn=d["prn"], start_epoch=0,
-                                code_phase0=code_phase)
-            if warm_ephemerides and d["prn"] in warm_ephemerides:
-                rec.eph = warm_ephemerides[d["prn"]]
-            recs.append(rec)
-        tables = jnp.asarray(
-            tc.channel_code_tables([r.prn for r in recs], n_chan))
+        tables_np = tc.channel_code_tables([], n_chan)
+        live: dict = {}      # channel slot -> active ChannelRecord
+        recs: list = []      # every record ever started (incl. lost)
+        first_dets: list = []
+
+        def try_acquire(blk_head, epoch_now):
+            """Search for SVs not currently tracked; fill free slots.
+
+            The SearchEnable/SearchTask loop analog
+            (reference: c/search.cpp:214-238, c/channel.cpp:246-254).
+            """
+            nonlocal state
+            free = [ch for ch in range(n_chan) if ch not in live]
+            if not free:
+                return []
+            pwr = self.searcher.power_grid(iq=blk_head)
+            dets = sorted(self.searcher.detections_refined(pwr),
+                          key=lambda d: -d["snr"])
+            tracked = {r.prn for r in live.values()}
+            started = []
+            for d in dets:
+                if d["prn"] in tracked or not free:
+                    continue
+                ch = free.pop(0)
+                code_phase = d["ca_shift"] * CHIP_RATE_HZ / cfg.fs
+                state = tc.start_channel(state, ch, d["doppler_hz"],
+                                         code_phase)
+                tables_np[ch] = tc.channel_code_tables([d["prn"]], 1)[0]
+                rec = ChannelRecord(ch=ch, prn=d["prn"],
+                                    start_epoch=epoch_now,
+                                    code_phase0=code_phase)
+                if warm_ephemerides and d["prn"] in warm_ephemerides:
+                    rec.eph = warm_ephemerides[d["prn"]]
+                live[ch] = rec
+                recs.append(rec)
+                tracked.add(d["prn"])
+                started.append(d)
+            return started
+
+        first_dets = try_acquire(first[: self.searcher.block_len], 0)
+        reacq_cooldown = int(self.reacq_interval_s * 1000)
+        next_reacq = reacq_cooldown
 
         n_epochs_total = 0
         blk = first
@@ -223,6 +253,11 @@ class Receiver:
             n_ep = len(blk) // p
             if n_ep == 0:
                 break
+            if (n_epochs_total >= next_reacq and len(live) < n_chan
+                    and len(blk) >= self.searcher.block_len):
+                try_acquire(blk[: self.searcher.block_len], n_epochs_total)
+                next_reacq = n_epochs_total + reacq_cooldown
+            tables = jnp.asarray(tables_np)
             seg = to_device_complex(np.ascontiguousarray(blk[: n_ep * p]))
             state, out = tc.track_epochs(
                 seg, state, tables, fs=cfg.fs,
@@ -231,13 +266,16 @@ class Receiver:
             ip = np.asarray(out.ip)
             qp = np.asarray(out.qp)
             cf = np.asarray(out.code_freq)
-            for r in recs:
-                if not r.lost:
-                    r.ip_hist.extend(ip[:, r.ch].tolist())
-                    r.qp_hist.extend(qp[:, r.ch].tolist())
-                    r.code_freq_hist.extend(cf[:, r.ch].tolist())
+            for r in live.values():
+                r.ip_hist.extend(ip[:, r.ch].tolist())
+                r.qp_hist.extend(qp[:, r.ch].tolist())
+                r.code_freq_hist.extend(cf[:, r.ch].tolist())
             n_epochs_total += ip.shape[0]
-            self._watchdog(recs, p)
+            # watchdog: free dead channels and their slots (SignalLost)
+            self._watchdog(list(live.values()), p)
+            for ch in [c for c, r in live.items() if r.lost]:
+                state = tc.stop_channel(state, ch)
+                del live[ch]
             if (max_duration_s is not None
                     and n_epochs_total * 1e-3 >= max_duration_s):
                 break
@@ -245,6 +283,7 @@ class Receiver:
 
         for r in recs:
             self._decode_nav(r)
+        dets = first_dets
         solutions = []
         step = int(self.solve_interval_s * 1000)
         snap_epochs = list(range(step, n_epochs_total, step))
@@ -304,13 +343,14 @@ class Receiver:
         """
         t_tx, ephs, weights = [], [], []
         for r in recs:
+            e_local = e_snap - r.start_epoch  # records may start mid-run
             if (r.last_tow is None or not r.eph.valid()
                     or r.last_subframe_bit is None
-                    or e_snap >= len(r.ip_hist)
-                    or r.last_subframe_bit >= e_snap):
+                    or e_local >= len(r.ip_hist) or e_local <= 0
+                    or r.last_subframe_bit >= e_local):
                 continue
             chips = r.unwrapped_chips(self.cfg.fs)
-            a_snap = chips[e_snap]
+            a_snap = chips[e_local]
             # chip count at the subframe-start bit edge: nearest code-period
             # boundary on the 20-period bit grid
             a_bit = chips[r.last_subframe_bit]
@@ -320,7 +360,7 @@ class Receiver:
             t = t0 + (a_snap - n_per * CODE_LEN_CHIPS) / CHIP_RATE_HZ
             t_tx.append(t)
             ephs.append(r.eph)
-            ip = np.asarray(r.ip_hist[max(0, e_snap - 8): e_snap])
+            ip = np.asarray(r.ip_hist[max(0, e_local - 8): e_local])
             weights.append(float(np.mean(np.square(ip))))
         if len(t_tx) < 4:
             return None

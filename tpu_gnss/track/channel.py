@@ -263,6 +263,12 @@ def track_epochs(samples: jnp.ndarray, state: ChannelState,
     return final, flat
 
 
+def stop_channel(state: ChannelState, ch: int) -> ChannelState:
+    """Deactivate one channel (the SignalLost mask-clear analog,
+    reference: c/channel.cpp:246-254)."""
+    return state._replace(active=state.active.at[ch].set(False))
+
+
 def channel_code_tables(prns, n_chan: int) -> np.ndarray:
     """``[n_chan, 1023]`` bipolar chips; unused channels get PRN 1."""
     tbl = 1.0 - 2.0 * cacode.code_table().astype(np.float32)
