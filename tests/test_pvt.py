@@ -145,3 +145,30 @@ def test_latlonalt_roundtrip():
         assert abs(np.degrees(lat) - lla[0]) < 1e-6
         assert abs(np.degrees(lon) - lla[1]) < 1e-6
         assert abs(alt - lla[2]) < 0.01
+
+
+def test_iono_correction_improves_fix():
+    """Measurements with modeled iono delay: corrected solve is closer."""
+    from tpu_gnss.constants import SPEED_OF_LIGHT
+    from tpu_gnss.pvt.iono import iono_range_correction_m
+    alpha = (1.1176e-8, 7.4506e-9, -5.9605e-8, -5.9605e-8)
+    beta = (90112.0, 0.0, -196610.0, -65536.0)
+    ephs = make_constellation(6)
+    for e in ephs:
+        e.alpha, e.beta = alpha, beta
+    rx = np.array(ps.geodetic_to_ecef(*TRUTH_LLA))
+    lat, lon = np.radians(TRUTH_LLA[0]), np.radians(TRUTH_LLA[1])
+    t_tx = gen_measurements(ephs, rx, T_RX)
+    # delay each measurement by the Klobuchar model: signal decodes the
+    # same t_tx but arrives iono/c later -> receiver snapshot catches an
+    # EARLIER transmit time by the same amount
+    delays = np.array([
+        iono_range_correction_m(alpha, beta, rx, e.get_xyz(t), lat, lon, t)
+        for e, t in zip(ephs, t_tx)]) / SPEED_OF_LIGHT
+    t_tx_meas = t_tx - delays
+    plain = ps.solve_position(t_tx_meas, ephs)
+    corr = ps.solve_position(t_tx_meas, ephs, apply_iono=True)
+    err_plain = np.linalg.norm(np.array([plain.x, plain.y, plain.z]) - rx)
+    err_corr = np.linalg.norm(np.array([corr.x, corr.y, corr.z]) - rx)
+    assert err_corr < err_plain
+    assert err_corr < 3.0, f"corrected error {err_corr:.2f} m"

@@ -72,7 +72,8 @@ class Solution:
 
 def solve_position(t_tx: np.ndarray, ephs: Sequence[Ephemeris],
                    weights: Optional[np.ndarray] = None,
-                   x0: Optional[np.ndarray] = None) -> Solution:
+                   x0: Optional[np.ndarray] = None,
+                   apply_iono: bool = False) -> Solution:
     """Weighted Gauss-Newton position/time solve.
 
     Args:
@@ -80,7 +81,33 @@ def solve_position(t_tx: np.ndarray, ephs: Sequence[Ephemeris],
       ephs: matching ephemerides.
       weights: per-channel weights (reference uses signal power,
         c/solve.cpp:160); default 1.
+      apply_iono: two-pass Klobuchar correction using the broadcast
+        alpha/beta of the first ephemeris that carries them (the
+        reference parses these but never applies them,
+        c/ephemeris.cpp:204).
     """
+    sol = _solve_once(t_tx, ephs, weights, x0, iono_m=None)
+    if not apply_iono or not sol.converged:
+        return sol
+    alpha = beta = None
+    for e in ephs:
+        if any(e.alpha) or any(e.beta):
+            alpha, beta = e.alpha, e.beta
+            break
+    if alpha is None:
+        return sol
+    from .iono import iono_range_correction_m
+    rx = np.array([sol.x, sol.y, sol.z])
+    lat, lon = np.radians(sol.lat_deg), np.radians(sol.lon_deg)
+    iono_m = np.array([
+        iono_range_correction_m(alpha, beta, rx, e.get_xyz(t), lat, lon, t)
+        for e, t in zip(ephs, t_tx)])
+    return _solve_once(t_tx, ephs, weights,
+                       np.array([sol.x, sol.y, sol.z, sol.t_bias]),
+                       iono_m=iono_m)
+
+
+def _solve_once(t_tx, ephs, weights, x0, iono_m) -> Solution:
     n = len(t_tx)
     if n < 4:
         raise ValueError(f"need >=4 channels, got {n}")
@@ -110,6 +137,10 @@ def solve_position(t_tx: np.ndarray, ephs: Sequence[Ephemeris],
         dx, dy, dz = est[0] - sx, est[1] - sy, est[2] - sz
         gr = np.sqrt(dx * dx + dy * dy + dz * dz)
         d_pr = SPEED_OF_LIGHT * (t_rx - t_corr) - gr
+        if iono_m is not None:
+            # the iono group delay lengthens the measured pseudorange;
+            # remove it from the residual
+            d_pr = d_pr - iono_m
 
         jac = np.stack([dx / gr, dy / gr, dz / gr,
                         np.full(n, SPEED_OF_LIGHT)], axis=1)

@@ -365,5 +365,5 @@ class Receiver:
         if len(t_tx) < 4:
             return None
         sol = pvt.solve_position(np.asarray(t_tx), ephs,
-                                 np.asarray(weights))
+                                 np.asarray(weights), apply_iono=True)
         return sol if sol.converged else None
