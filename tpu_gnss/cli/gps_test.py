@@ -74,6 +74,10 @@ def main(argv=None) -> int:
     cfg = ReceiverConfig(fs=args.fs, fc=args.fc, max_fo=max_fo,
                          snr_threshold=args.threshold)
 
+    import os
+    if not os.path.exists(args.filename):
+        print(f"can not open file: {args.filename}", file=sys.stderr)
+        return 2
     print("tpu_gnss C/A code offline search "
           "(capability parity with gps_test; TPU-native backend)")
     print(f"file={args.filename} fc={args.fc:g} fs={args.fs:g} "

@@ -41,6 +41,11 @@ def main(argv=None) -> int:
                         "three (~20 s)")
     args = p.parse_args(argv)
 
+    import os
+    if not os.path.exists(args.filename):
+        print(f"error: capture file not found: {args.filename}",
+              file=sys.stderr)
+        return 2
     cfg = ReceiverConfig(fs=args.fs, fc=args.fc, max_fo=args.max_fo,
                          snr_threshold=args.threshold,
                          num_chans=args.channels)

@@ -182,16 +182,20 @@ def solve_snapshots(snaps: Sequence[Snapshot],
 def lat_lon_alt(x: float, y: float, z: float) -> tuple[float, float, float]:
     """WGS-84 ECEF -> geodetic, iterative (reference: c/solve.cpp:273-293)."""
     p = np.sqrt(x * x + y * y)
+    if p < 1e-6:  # pole: direct solution, the iteration would divide by 0
+        return (np.pi / 2 if z >= 0 else -np.pi / 2, 0.0,
+                abs(z) - WGS84_A * np.sqrt(1.0 - WGS84_E2))
     lon = 2.0 * np.arctan2(y, x + p)
     lat = np.arctan(z / (p * (1.0 - WGS84_E2)))
     alt = 0.0
-    while True:
+    for _ in range(100):
         prev = alt
         n = WGS84_A / np.sqrt(1.0 - WGS84_E2 * np.sin(lat) ** 2)
         alt = p / np.cos(lat) - n
         lat = np.arctan(z / (p * (1.0 - WGS84_E2 * n / (n + alt))))
         if abs(alt - prev) < 1e-3:
-            return float(lat), float(lon), float(alt)
+            break
+    return float(lat), float(lon), float(alt)
 
 
 def geodetic_to_ecef(lat_deg: float, lon_deg: float, alt_m: float
