@@ -93,13 +93,10 @@ def mix_baseband(bits: jnp.ndarray, lo_rate: float,
     from ..io.loaders import LO_TABLES
     i_tbl, q_tbl = LO_TABLES[variant]
     n = bits.shape[-1]
-    # Exact phase ramp; float64 not available on TPU by default, but the
-    # index only needs (i * lo_rate) mod 4 to ~1e-4 absolute: compute the
-    # ramp in float32 against a wrapped iota to keep precision at large i.
+    # The LO phase index needs (i * lo_rate) mod 4 accurate to ~1e-4 even
+    # at multi-second sample indices; plain f32 i*rate loses that, so the
+    # ramp is computed with per-level range reduction (see _phase_mod4).
     i_lo = jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0).squeeze(-1)
-    # (i * lo_rate) mod 4 computed exactly in integer arithmetic when
-    # lo_rate is rational with denominator fs: i*4*fc mod 4*fs. Use float64
-    # on CPU path; on TPU use the split-integer trick below.
     phase = _phase_mod4(i_lo, lo_rate)
     p = phase.astype(jnp.int32)
     s = (1 - 2 * bits.astype(jnp.int32)).astype(jnp.float32)
