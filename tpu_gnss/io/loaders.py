@@ -225,6 +225,15 @@ def convert_1bit_to_iq8(in_path: str, out_path: str, fs: float = 5.456e6,
     bounded memory.
     """
     assert block % 4 == 0
+    try:
+        from . import native
+        if gain <= 127:
+            native.convert_1bit_to_iq8(in_path, out_path, gain)
+            return
+    except OSError:
+        raise
+    except Exception:
+        pass  # no toolchain: numpy fallback below
     lo_i = np.tile(np.array([1, 0, -1, 0], np.int32), block // 4)
     lo_q = np.tile(np.array([0, 1, 0, -1], np.int32), block // 4)
     with open(in_path, "rb") as fin, open(out_path, "wb") as fout:

@@ -111,3 +111,16 @@ def pack_1bit(bits: np.ndarray) -> np.ndarray:
     out = np.empty((len(bits) + 7) // 8, dtype=np.uint8)
     lib.sdrio_pack_1bit(_u8ptr(bits), len(bits), _u8ptr(out))
     return out
+
+
+def convert_1bit_to_iq8(in_path: str, out_path: str, gain: int = 100) -> int:
+    """Native streamed 1-bit -> int8 I/Q conversion; returns sample count."""
+    lib = _load()
+    lib.sdrio_convert_1bit_to_iq8.argtypes = [ctypes.c_char_p,
+                                              ctypes.c_char_p, ctypes.c_int]
+    lib.sdrio_convert_1bit_to_iq8.restype = ctypes.c_int64
+    n = lib.sdrio_convert_1bit_to_iq8(in_path.encode(), out_path.encode(),
+                                      gain)
+    if n < 0:
+        raise OSError(f"conversion failed: {in_path} -> {out_path}")
+    return int(n)

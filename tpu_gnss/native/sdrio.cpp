@@ -109,4 +109,50 @@ void sdrio_pack_1bit(const uint8_t* in, int64_t n_samples, uint8_t* out) {
     }
 }
 
+// Streamed 1-bit capture -> interleaved int8 I/Q file conversion with the
+// exact fs/4 quadrature LO patterns [1,0,-1,0] / [0,1,0,-1] — the native
+// converter tool (reference: c/conv_1bit_bin_to_hackrf_bin.cpp and
+// gps_bin1bit_log2bin.m:21-33), file-to-file in bounded memory.
+// Returns samples converted, or -1 on I/O error.
+#include <cstdio>
+
+int64_t sdrio_convert_1bit_to_iq8(const char* in_path, const char* out_path,
+                                  int gain) {
+    const int64_t BLOCK = 1 << 20;  // bytes per read (8 Mbit)
+    FILE* fin = std::fopen(in_path, "rb");
+    if (!fin) return -1;
+    FILE* fout = std::fopen(out_path, "wb");
+    if (!fout) { std::fclose(fin); return -1; }
+
+    static uint8_t inbuf[1 << 20];
+    // 2 bytes I/Q out per input bit
+    static int8_t outbuf[2 * 8 * (1 << 20)];
+    const int8_t lo_i[4] = {1, 0, -1, 0};
+    const int8_t lo_q[4] = {0, 1, 0, -1};
+    int8_t g = (int8_t)(gain > 127 ? 127 : gain);
+    int64_t total = 0;
+    int phase = 0;  // samples mod 4, carried across blocks
+    for (;;) {
+        size_t nb = std::fread(inbuf, 1, BLOCK, fin);
+        if (nb == 0) break;
+        int64_t m = 0;
+        for (size_t i = 0; i < nb; i++) {
+            int byte = inbuf[i];
+            for (int k = 0; k < 8; k++) {
+                int8_t s = ((byte >> k) & 1) ? (int8_t)-1 : (int8_t)1;
+                outbuf[m++] = (int8_t)(s * lo_i[phase] * g);
+                outbuf[m++] = (int8_t)(s * lo_q[phase] * g);
+                phase = (phase + 1) & 3;
+            }
+        }
+        if (std::fwrite(outbuf, 1, (size_t)m, fout) != (size_t)m) {
+            std::fclose(fin); std::fclose(fout); return -1;
+        }
+        total += m / 2;
+    }
+    std::fclose(fin);
+    std::fclose(fout);
+    return total;
+}
+
 }  // extern "C"
