@@ -1,3 +1,4 @@
+import sys, os; sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import numpy as np, time, jax, jax.numpy as jnp
 jax.config.update("jax_compilation_cache_dir", "/root/.jax_cache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
@@ -24,5 +25,5 @@ for E in (4, 10, 20):
         st, out = tc.track_epochs(iq_d, st, tables, fs=FS, pll_gains=g1, dll_gains=g2, epochs_per_step=E)
     _=np.asarray(out.ip[-1]); dt=(time.perf_counter()-t0)/iters
     lock = int(round(float(np.abs(ip[-50:]).mean())))
-    print(f"E={E:2d}: {dt*1e3:5.0f} ms per 1 s -> {1.0/dt:5.1f}x realtime  lock|ip|~{lock}", flush=True)
+    print(f"E={E}: {dt*1e3:5.0f} ms per 1 s -> {1.0/dt:5.1f}x realtime  lock|ip|~{lock}", flush=True)
 print("PAYLOAD_DONE", flush=True)

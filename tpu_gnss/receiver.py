@@ -82,7 +82,8 @@ class Receiver:
                  los_power_ratio: float = 0.05,
                  los_timeout_s: float = 2.0,
                  epochs_per_step: int = 1,
-                 reacq_interval_s: float = 5.0):
+                 reacq_interval_s: float = 5.0,
+                 fft_correlator: bool = True):
         self.cfg = cfg
         self.searcher = FoldedSearcher(cfg, n_coherent=n_coherent)
         t_s = epochs_per_step * 1e-3
@@ -93,6 +94,7 @@ class Receiver:
         self.los_power_ratio = los_power_ratio
         self.los_timeout_s = los_timeout_s
         self.reacq_interval_s = reacq_interval_s
+        self.fft_correlator = fft_correlator
 
     # ------------------------------------------------------------------
     def process_iq(self, iq: np.ndarray, max_channels: Optional[int] = None,
@@ -124,6 +126,7 @@ class Receiver:
                                       code_phase0=code_phase))
         tables = jnp.asarray(
             tc.channel_code_tables([r.prn for r in recs], n_chan))
+        code_ffts = self._spectra([r.prn for r in recs], n_chan)
 
         # --- 3. tracking scan over the capture, chunked ----------------
         # chunks are sliced host-side and transferred per chunk: eager
@@ -137,7 +140,8 @@ class Receiver:
             state, out = tc.track_epochs(
                 seg, state, tables, fs=cfg.fs,
                 pll_gains=self.pll_gains, dll_gains=self.dll_gains,
-                epochs_per_step=self.epochs_per_step)
+                epochs_per_step=self.epochs_per_step,
+                code_ffts=code_ffts)
             ip = np.asarray(out.ip)
             qp = np.asarray(out.qp)
             cf = np.asarray(out.code_freq)
@@ -258,11 +262,15 @@ class Receiver:
                 try_acquire(blk[: self.searcher.block_len], n_epochs_total)
                 next_reacq = n_epochs_total + reacq_cooldown
             tables = jnp.asarray(tables_np)
+            code_ffts = self._spectra(
+                [live[ch].prn if ch in live else 1 for ch in range(n_chan)],
+                n_chan)
             seg = to_device_complex(np.ascontiguousarray(blk[: n_ep * p]))
             state, out = tc.track_epochs(
                 seg, state, tables, fs=cfg.fs,
                 pll_gains=self.pll_gains, dll_gains=self.dll_gains,
-                epochs_per_step=self.epochs_per_step)
+                epochs_per_step=self.epochs_per_step,
+                code_ffts=code_ffts)
             ip = np.asarray(out.ip)
             qp = np.asarray(out.qp)
             cf = np.asarray(out.code_freq)
@@ -295,6 +303,21 @@ class Receiver:
                 solutions.append(sol)
         return ReceiverResult(detections=dets, channels=recs,
                               solutions=solutions)
+
+    # ------------------------------------------------------------------
+    def _spectra(self, prns, n_chan):
+        """Device correlator spectra for the channel set (FFT mode)."""
+        if not self.fft_correlator:
+            return None
+        key = tuple(prns)
+        cached = getattr(self, "_spectra_cache", None)
+        if cached is not None and cached[0] == key:
+            return cached[1]
+        from .utils.xfer import to_device_complex
+        spec = tc.code_spectra_np(list(prns), n_chan, self.cfg.fs)
+        dev = to_device_complex(spec)
+        self._spectra_cache = (key, dev)
+        return dev
 
     # ------------------------------------------------------------------
     def _watchdog(self, recs, p) -> None:

@@ -25,7 +25,7 @@ the locked code Doppler after a settling period
 from __future__ import annotations
 
 import functools
-from typing import NamedTuple
+from typing import NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp
@@ -118,7 +118,8 @@ def track_epochs(samples: jnp.ndarray, state: ChannelState,
                  fll_bn_hz: float = 3.0,
                  corr_spacing: float = 0.5,
                  carrier_aiding: bool = True,
-                 epochs_per_step: int = 1
+                 epochs_per_step: int = 1,
+                 code_ffts: Optional[jnp.ndarray] = None
                  ) -> tuple[ChannelState, EpochOut]:
     """Run the channel bank over a span of complex baseband samples.
 
@@ -156,22 +157,42 @@ def track_epochs(samples: jnp.ndarray, state: ChannelState,
     two_pi = 2.0 * jnp.pi
     t_epoch = step_len / fs  # loop update interval
 
+    e_steps = jnp.arange(e_sub, dtype=jnp.float32)[None, :] * p
+
     def epoch(st: ChannelState, blk: jnp.ndarray):
-        # --- correlators (all e_sub epochs at once) ----------------------
-        # [n_chan, e_sub, P]: NCO rates held constant within the step
-        chips_t = (st.code_phase[:, None, None]
-                   + (st.code_freq / fs)[:, None, None] * n[None, :, :])
-        ch_idx = jnp.arange(code_tables.shape[0])[:, None, None]
-
-        def corr(offset):
-            idx = jnp.floor(chips_t + offset).astype(jnp.int32) % CODE_LEN_CHIPS
-            code = code_tables[ch_idx, idx]           # [n_chan, e_sub, P]
-            return (wiped * code).sum(axis=-1)        # [n_chan, e_sub]
-
         ph = (st.carrier_phase[:, None, None]
               + (st.carrier_freq / fs)[:, None, None] * n[None, :, :])
         ang = (-two_pi) * ph
         wiped = blk[None, :, :] * jax.lax.complex(jnp.cos(ang), jnp.sin(ang))
+
+        if code_ffts is not None:
+            # --- FFT-dot correlators: gather-free ------------------------
+            # corr(τ) = (1/NF) Σ_k W[k]·spec[k]·e^{-j2πkτ/NF}, spec from
+            # code_spectra() (conj code FFT with the circular wrap folded
+            # in).  Taps at fractional sample lags — no per-sample code
+            # gather, which costs ~10x everything else on TPU.
+            nf = code_ffts.shape[-1]
+            f_w = jnp.fft.fft(wiped, n=nf, axis=-1)   # [n_chan, e_sub, NF]
+            prod = f_w * code_ffts[:, None, :]
+            chips0 = (st.code_phase[:, None]
+                      + (st.code_freq / fs)[:, None] * e_steps)
+
+            def corr(offset):
+                s0 = ((chips0 + offset) % CODE_LEN_CHIPS) * (p / CODE_LEN_CHIPS)
+                ramp = _frac_ramp(s0.reshape(-1), nf).reshape(
+                    s0.shape[0], s0.shape[1], nf)
+                return (prod * ramp).sum(axis=-1) / nf
+        else:
+            # --- reference-style resampled-code correlators --------------
+            chips_t = (st.code_phase[:, None, None]
+                       + (st.code_freq / fs)[:, None, None] * n[None, :, :])
+            ch_idx = jnp.arange(code_tables.shape[0])[:, None, None]
+
+            def corr(offset):
+                idx = (jnp.floor(chips_t + offset).astype(jnp.int32)
+                       % CODE_LEN_CHIPS)
+                code = code_tables[ch_idx, idx]       # [n_chan, e_sub, P]
+                return (wiped * code).sum(axis=-1)    # [n_chan, e_sub]
 
         cp = corr(0.0)
         ce = corr(corr_spacing)
@@ -261,6 +282,81 @@ def track_epochs(samples: jnp.ndarray, state: ChannelState,
     flat = jax.tree.map(
         lambda a: jnp.moveaxis(a, 2, 1).reshape(-1, a.shape[1]), outs)
     return final, flat
+
+
+def code_spectra_np(prns, n_chan: int, fs: float) -> np.ndarray:
+    """Host-side correlator spectra (see :func:`code_spectra`) as numpy.
+
+    For callers that assemble per-channel rows dynamically (re-acquisition)
+    and transfer via float planes (tpu_gnss.utils.xfer).
+    """
+    from ..acquire.folded import fft_len_for_period
+    from ..signal.cacode import code_table, resample
+    p = int(round(fs * 1e-3))
+    nf = fft_len_for_period(p)
+    tbl = code_table()
+    reps = np.zeros((n_chan, p), np.float64)
+    for ch in range(n_chan):
+        prn = prns[ch] if ch < len(prns) else 1
+        reps[ch] = resample(tbl[prn - 1], fs, p)
+    spec = np.conj(np.fft.fft(reps, n=nf, axis=-1))
+    k = np.arange(nf)
+    wrap = 1.0 + np.exp(2j * np.pi * k * (p / nf))
+    return (spec * wrap[None, :]).astype(np.complex64)
+
+
+def code_spectra(prns, n_chan: int, fs: float) -> tuple[jnp.ndarray, int]:
+    """Per-channel correlator spectra for the FFT-dot correlator.
+
+    Returns ``(spec [n_chan, NF] complex64 on device, NF)`` where
+    ``spec = conj(FFT(replica)) * (1 + e^{j2πkP/NF})`` — the second factor
+    folds the circular-correlation wrap (circ(τ)=lin(τ)+lin(τ−P)) into
+    the table so each correlator tap needs only one phase ramp at run
+    time.  Computed on device from float planes (complex cannot cross the
+    host boundary on some backends).
+    """
+    from ..acquire.folded import fft_len_for_period
+    p = int(round(fs * 1e-3))
+    nf = fft_len_for_period(p)
+    reps = np.zeros((n_chan, p), np.float32)
+    from ..signal.cacode import code_table, resample
+    tbl = code_table()
+    for ch, prn in enumerate(prns):
+        reps[ch] = resample(tbl[prn - 1], fs, p)
+    for ch in range(len(prns), n_chan):
+        reps[ch] = resample(tbl[0], fs, p)
+
+    @jax.jit
+    def build(r):
+        spec = jnp.conj(jnp.fft.fft(r.astype(jnp.complex64), n=nf, axis=-1))
+        k = jnp.arange(nf, dtype=jnp.float32)
+        ang = 2.0 * jnp.pi * k * (p / nf)
+        wrap = 1.0 + jax.lax.complex(jnp.cos(ang), jnp.sin(ang))
+        return spec * wrap[None, :]
+
+    return build(jnp.asarray(reps)), nf
+
+
+def _frac_ramp(tau: jnp.ndarray, nf: int) -> jnp.ndarray:
+    """``e^{-j2πk_eff τ/NF}`` with SIGNED frequencies — [rows, NF].
+
+    ``k_eff = k`` for the lower half, ``k - NF`` for the upper half: for
+    fractional τ the interpolation must treat upper bins as negative
+    frequencies or the value collapses at half-sample lags.  The upper-
+    half correction is a single ``e^{+j2πτ}`` factor.  Trig cost is
+    K + NF/K per row via the phase split.
+    """
+    K = 128
+    k1 = jnp.arange(K, dtype=jnp.float32)
+    k2 = jnp.arange(nf // K, dtype=jnp.float32) * K
+    a1 = -2.0 * jnp.pi * k1[None, :] * tau[:, None] / nf
+    a2 = -2.0 * jnp.pi * k2[None, :] * tau[:, None] / nf
+    e1 = jax.lax.complex(jnp.cos(a1), jnp.sin(a1))
+    e2 = jax.lax.complex(jnp.cos(a2), jnp.sin(a2))
+    at = 2.0 * jnp.pi * tau[:, None]
+    upper = jax.lax.complex(jnp.cos(at), jnp.sin(at))
+    e2 = jnp.where(k2[None, :] >= nf // 2, e2 * upper, e2)
+    return (e2[:, :, None] * e1[:, None, :]).reshape(tau.shape[0], nf)
 
 
 def stop_channel(state: ChannelState, ch: int) -> ChannelState:
