@@ -138,6 +138,37 @@ def test_epochs_per_step_locks():
     assert np.abs(err[-200:]).max() < 0.25
 
 
+def test_agc_hysteresis():
+    """Strong-signal AGC engages above hi, holds between lo and hi, and
+    tracking still locks with the halved Costas gain
+    (reference: c/channel.cpp:265-288)."""
+    import jax.numpy as jnp
+    n_epochs = 600
+    sv = synth.SvSignal(prn=7, doppler_hz=1234.0, code_phase_chips=500.25)
+    iq = synth.synth_baseband([sv], FS, n_epochs * 5456, noise_std=0.3,
+                              seed=0)
+    state = tc.init_state(2)
+    state = tc.start_channel(state, 0, 1234.0 + 100.0, 500.25 + 0.3)
+    tables = jnp.asarray(tc.channel_code_tables([7], 2))
+    gains = (tc.second_order_gains(18.0), tc.second_order_gains(2.0))
+    # prompt power in lock ~ (0.9 * 5456)^2; thresholds well below that
+    p_lock = (0.9 * 5456.0) ** 2
+    final, out = tc.track_epochs(
+        jnp.asarray(iq), state, tables, fs=FS,
+        pll_gains=gains[0], dll_gains=gains[1],
+        agc_thresholds=(0.2 * p_lock, 0.4 * p_lock))
+    assert bool(np.asarray(final.agc_on)[0]), "AGC must engage in lock"
+    assert not bool(np.asarray(final.agc_on)[1]), "inactive channel off"
+    cf = np.asarray(out.carrier_freq[:, 0])
+    assert abs(cf[-50:].mean() - 1234.0) < 5.0, "still locks with AGC"
+    # thresholds far above any achievable power: AGC must stay off
+    final2, _ = tc.track_epochs(
+        jnp.asarray(iq), state, tables, fs=FS,
+        pll_gains=gains[0], dll_gains=gains[1],
+        agc_thresholds=(1e14, 2e14))
+    assert not bool(np.asarray(final2.agc_on)[0])
+
+
 def test_fft_correlator_matches_gather():
     """FFT-dot and resampled-code correlators agree in lock."""
     import jax.numpy as jnp

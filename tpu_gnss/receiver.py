@@ -83,7 +83,8 @@ class Receiver:
                  los_timeout_s: float = 2.0,
                  epochs_per_step: int = 1,
                  reacq_interval_s: float = 5.0,
-                 fft_correlator: bool = True):
+                 fft_correlator: bool = True,
+                 agc_thresholds: Optional[tuple] = None):
         self.cfg = cfg
         self.searcher = FoldedSearcher(cfg, n_coherent=n_coherent)
         t_s = epochs_per_step * 1e-3
@@ -95,6 +96,9 @@ class Receiver:
         self.los_timeout_s = los_timeout_s
         self.reacq_interval_s = reacq_interval_s
         self.fft_correlator = fft_correlator
+        # strong-signal Costas gain reduction (reference:
+        # c/channel.cpp:265-288); (lo, hi) on the running prompt power
+        self.agc_thresholds = agc_thresholds
 
     # ------------------------------------------------------------------
     def process_iq(self, iq: np.ndarray, max_channels: Optional[int] = None,
@@ -141,7 +145,8 @@ class Receiver:
                 seg, state, tables, fs=cfg.fs,
                 pll_gains=self.pll_gains, dll_gains=self.dll_gains,
                 epochs_per_step=self.epochs_per_step,
-                code_ffts=code_ffts)
+                code_ffts=code_ffts,
+                agc_thresholds=self.agc_thresholds)
             ip = np.asarray(out.ip)
             qp = np.asarray(out.qp)
             cf = np.asarray(out.code_freq)
@@ -270,7 +275,8 @@ class Receiver:
                 seg, state, tables, fs=cfg.fs,
                 pll_gains=self.pll_gains, dll_gains=self.dll_gains,
                 epochs_per_step=self.epochs_per_step,
-                code_ffts=code_ffts)
+                code_ffts=code_ffts,
+                agc_thresholds=self.agc_thresholds)
             ip = np.asarray(out.ip)
             qp = np.asarray(out.qp)
             cf = np.asarray(out.code_freq)

@@ -58,6 +58,7 @@ class ChannelState(NamedTuple):
     pwr_avg: jnp.ndarray        # running prompt power average
     ip_prev: jnp.ndarray        # previous prompt I (FLL discriminator)
     qp_prev: jnp.ndarray        # previous prompt Q
+    agc_on: jnp.ndarray         # bool: strong-signal gain reduction active
 
 
 class EpochOut(NamedTuple):
@@ -79,7 +80,8 @@ def init_state(n_chan: int) -> ChannelState:
         pll_acc=z, dll_acc=z,
         carrier_freq=z,
         code_freq=jnp.full(n_chan, CHIP_RATE_HZ, jnp.float32),
-        pwr_avg=z, ip_prev=z, qp_prev=z)
+        pwr_avg=z, ip_prev=z, qp_prev=z,
+        agc_on=jnp.zeros(n_chan, bool))
 
 
 def start_channel(state: ChannelState, ch: int, doppler_hz: float,
@@ -104,13 +106,15 @@ def start_channel(state: ChannelState, ch: int, doppler_hz: float,
                       CHIP_RATE_HZ * (1.0 + doppler_hz / L1_HZ)),
         pwr_avg=upd(state.pwr_avg, 0.0),
         ip_prev=upd(state.ip_prev, 0.0),
-        qp_prev=upd(state.qp_prev, 0.0))
+        qp_prev=upd(state.qp_prev, 0.0),
+        agc_on=state.agc_on.at[ch].set(False))
 
 
 @functools.partial(
     jax.jit,
     static_argnames=("fs", "pll_gains", "dll_gains", "fll_bn_hz",
-                     "corr_spacing", "carrier_aiding", "epochs_per_step"))
+                     "corr_spacing", "carrier_aiding", "epochs_per_step",
+                     "agc_thresholds"))
 def track_epochs(samples: jnp.ndarray, state: ChannelState,
                  code_tables: jnp.ndarray, *, fs: float,
                  pll_gains: tuple[float, float],
@@ -119,7 +123,8 @@ def track_epochs(samples: jnp.ndarray, state: ChannelState,
                  corr_spacing: float = 0.5,
                  carrier_aiding: bool = True,
                  epochs_per_step: int = 1,
-                 code_ffts: Optional[jnp.ndarray] = None
+                 code_ffts: Optional[jnp.ndarray] = None,
+                 agc_thresholds: Optional[tuple[float, float]] = None
                  ) -> tuple[ChannelState, EpochOut]:
     """Run the channel bank over a span of complex baseband samples.
 
@@ -141,6 +146,12 @@ def track_epochs(samples: jnp.ndarray, state: ChannelState,
         drops to 1000/epochs_per_step Hz — keep it >= ~10x the loop
         bandwidths.  Values > 1 amortize sequential-step overhead on
         backends where scan iterations are expensive.
+      agc_thresholds: optional ``(lo, hi)`` on the running prompt power
+        average ``pwr_avg``.  When the average rises above ``hi`` the
+        Costas discriminator gain is halved until it falls back below
+        ``lo`` — the reference's strong-signal AGC with hysteresis
+        (reference: c/channel.cpp:265-288, thresholds 1200^2/1400^2 in
+        its fixed-point scale).  ``None`` disables the AGC.
 
     Returns (final state, per-epoch outputs).
     """
@@ -226,6 +237,10 @@ def track_epochs(samples: jnp.ndarray, state: ChannelState,
         dll_err = corr_spacing * (e_mag - l_mag) / denom
 
         # --- loop filters: freq = seed + k1*e + acc ----------------------
+        # strong-signal AGC: halved Costas gain while agc_on (decision is
+        # one step delayed, matching the reference's 4 Hz CheckPower poll)
+        if agc_thresholds is not None:
+            pll_err = pll_err * jnp.where(st.agc_on, 0.5, 1.0)
         # FLL assist folds straight into the PLL integrator (rad/s)
         fll_k = 4.0 * fll_bn_hz * t_epoch
         pll_acc = st.pll_acc + jnp.where(
@@ -256,6 +271,15 @@ def track_epochs(samples: jnp.ndarray, state: ChannelState,
         pwr = (ip_all * ip_all + qp_all * qp_all).mean(axis=1)
         pwr_avg = jnp.where(st.active,
                             0.875 * st.pwr_avg + 0.125 * pwr, st.pwr_avg)
+        if agc_thresholds is not None:
+            agc_lo, agc_hi = agc_thresholds
+            agc_on = jnp.where(
+                st.active,
+                jnp.where(pwr_avg > agc_hi, True,
+                          jnp.where(pwr_avg < agc_lo, False, st.agc_on)),
+                st.agc_on)
+        else:
+            agc_on = st.agc_on
 
         # per-epoch outputs [n_chan, e_sub]
         bcast = lambda a: jnp.broadcast_to(a[:, None], ip_all.shape)
@@ -274,7 +298,8 @@ def track_epochs(samples: jnp.ndarray, state: ChannelState,
                            dll_acc=dll_acc, carrier_freq=carrier_freq,
                            code_freq=code_freq, pwr_avg=pwr_avg,
                            ip_prev=jnp.where(st.active, ip, st.ip_prev),
-                           qp_prev=jnp.where(st.active, qp, st.qp_prev))
+                           qp_prev=jnp.where(st.active, qp, st.qp_prev),
+                           agc_on=agc_on)
         return new, out
 
     final, outs = jax.lax.scan(epoch, state, blocks)

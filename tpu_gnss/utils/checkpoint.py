@@ -78,8 +78,12 @@ def load_state(path: str) -> dict:
     chan = {k[5:]: z[k] for k in z.files if k.startswith("chan_")}
     if chan:
         import jax.numpy as jnp
-        out["channel_state"] = ChannelState(
-            **{k: jnp.asarray(v) for k, v in chan.items()})
+        from ..track.channel import init_state
+        n_chan = len(next(iter(chan.values())))
+        # fields added after a checkpoint was written keep their defaults
+        out["channel_state"] = init_state(n_chan)._replace(
+            **{k: jnp.asarray(v) for k, v in chan.items()
+               if k in ChannelState._fields})
     if "detections_json" in z:
         out["detections"] = json.loads(bytes(z["detections_json"]).decode())
     if "meta_json" in z:
