@@ -1,0 +1,85 @@
+"""Software replay loop tests (the RF playback path without radios).
+
+Mirrors the reference's generate -> transmit -> capture -> re-receive
+cycle (README.md §2.2): synthesize the PRN-8 TX file, replay it through
+the channel model with a large oscillator offset, hard-limit back to a
+1-bit IF capture, and re-acquire with a wide Doppler grid.
+"""
+
+import numpy as np
+import pytest
+
+from tpu_gnss.config import ReceiverConfig
+from tpu_gnss.io import loaders
+from tpu_gnss.signal import rfchannel, synth
+from tpu_gnss.cli import playback
+
+
+FS = 8.184e6
+FC = 2.046e6
+
+
+def _make_tx(tmp_path):
+    bits, meta = synth.synth_1bit_if(num_bits=6)
+    one = tmp_path / "tx_1bit.bin"
+    one.write_bytes(loaders.pack_1bit(bits))
+    tx = tmp_path / "tx_iq8.bin"
+    loaders.convert_1bit_to_iq8(str(one), str(tx), fs=FS)
+    return tx
+
+
+def test_apply_channel_offsets_are_exact():
+    fs = 1e6
+    n = 4096
+    t = np.arange(n) / fs
+    tone = np.exp(2j * np.pi * 1000.0 * t).astype(np.complex64)
+    out = rfchannel.apply_channel(tone, fs, freq_offset_hz=2500.0,
+                                  gain=2.0, phase_rad=0.5)
+    want = 2.0 * np.exp(1j * (2 * np.pi * 3500.0 * t + 0.5))
+    assert np.allclose(out, want, atol=1e-3)
+    # integer delay shifts samples; head zero-filled
+    d = rfchannel.apply_channel(tone, fs, delay_samples=7)
+    assert np.allclose(d[7:], tone[:-7], atol=1e-6)
+    assert np.all(d[:7] == 0)
+    # fractional delay = linear interpolation between neighbors
+    h = rfchannel.apply_channel(tone, fs, delay_samples=2.5)
+    want = 0.5 * (tone[:-3] + tone[1:-2])
+    assert np.allclose(h[3:], want, atol=1e-5)
+
+
+def test_loopback_reacquires_with_oscillator_offset(tmp_path, capsys):
+    """Replayed capture is re-acquired; Doppler shows the TX/RX offset."""
+    tx = _make_tx(tmp_path)
+    out = tmp_path / "rx_1bit.bin"
+    rc = playback.main([
+        "loopback", str(tx), str(out),
+        "--fs-tx", str(FS), "--fc-rx", str(FC),
+        "--freq-offset", "8000", "--delay", "1234", "--noise", "0.3",
+        "--acquire", "--max-fo", "20000"])
+    assert rc == 0
+    text = capsys.readouterr().out
+    assert "loopback: wrote" in text
+
+    cfg = ReceiverConfig(fs=FS, fc=FC, max_fo=20000.0)
+    from tpu_gnss.acquire.search import Searcher
+    bits = loaders.load_1bit(str(out), count=cfg.fft_len)
+    s = Searcher(cfg)
+    dets = s.detections(s.acquire_bits(bits))
+    assert dets, "replayed PRN-8 must be re-acquired"
+    top = max(dets, key=lambda d: d["snr"])
+    assert top["prn"] == 8
+    # the 8 kHz oscillator offset must land in the right Doppler bin
+    assert abs(abs(top["doppler_hz"]) - 8000.0) < 2 * cfg.dop_bin_hz
+
+
+def test_plan_prints_hackrf_invocation(capsys):
+    rc = playback.main(["plan", "gps_sig_tmp_for_hackrf_tx.bin",
+                        "--profile", "synthetic"])
+    assert rc == 0
+    text = capsys.readouterr().out
+    assert "hackrf_transfer -s 8184000 -f 1575420000" in text
+    assert "rf_gain = 10" in text
+    # wav profile follows hackrf_transfer_script.txt (2.8 Msps, 1574.8 MHz)
+    playback.main(["plan", "x.bin", "--profile", "wav"])
+    text = capsys.readouterr().out
+    assert "hackrf_transfer -s 2800000 -f 1574800000" in text
