@@ -7,23 +7,32 @@ from tpu_gnss.track import channel as tc
 from tpu_gnss.signal import synth
 from tpu_gnss.utils.xfer import to_device_complex
 FS = 5.456e6
+prns = [1,3,7,9,12,15,17,20,22,25,28,31]
 svs = [synth.SvSignal(prn=p, doppler_hz=250.0*i-1500.0, code_phase_chips=80.0*i)
-       for i, p in enumerate([1,3,7,9,12,15,17,20,22,25,28,31])]
+       for i, p in enumerate(prns)]
 iq = synth.synth_baseband(svs, FS, 1000*5456, noise_std=0.5, seed=7)
 iq_d = to_device_complex(iq)
 state0 = tc.init_state(12)
 for ch, sv in enumerate(svs):
     state0 = tc.start_channel(state0, ch, sv.doppler_hz, sv.code_phase_chips)
 tables = jnp.asarray(tc.channel_code_tables([s.prn for s in svs], 12))
-for E in (4, 10, 20):
-    g1 = tc.second_order_gains(18.0, t_s=E*1e-3)
-    g2 = tc.second_order_gains(2.0, t_s=E*1e-3)
-    st, out = tc.track_epochs(iq_d, state0, tables, fs=FS, pll_gains=g1, dll_gains=g2, epochs_per_step=E)
-    ip = np.asarray(out.ip)
-    t0=time.perf_counter(); iters=4
-    for i in range(iters):
-        st, out = tc.track_epochs(iq_d, st, tables, fs=FS, pll_gains=g1, dll_gains=g2, epochs_per_step=E)
-    _=np.asarray(out.ip[-1]); dt=(time.perf_counter()-t0)/iters
-    lock = int(round(float(np.abs(ip[-50:]).mean())))
-    print(f"E={E}: {dt*1e3:5.0f} ms per 1 s -> {1.0/dt:5.1f}x realtime  lock|ip|~{lock}", flush=True)
+spec, nf = tc.code_spectra(prns, 12, FS)
+# NOTE: fetch only small slices before/around timing.  Pulling the full
+# [1000, 12] correlator history across the tunnel before a timed region
+# was observed to slow the next executions ~10x (lazy backend quirk);
+# keep large fetches AFTER all timing.
+for label, cf in (("fftdot", spec), ("gather", None)):
+    for E in (10, 20):
+        g1 = tc.second_order_gains(18.0, t_s=E*1e-3)
+        g2 = tc.second_order_gains(2.0, t_s=E*1e-3)
+        st, out = tc.track_epochs(iq_d, state0, tables, fs=FS, pll_gains=g1,
+                                  dll_gains=g2, epochs_per_step=E, code_ffts=cf)
+        _ = np.asarray(out.ip[-1])  # compile + settle
+        t0=time.perf_counter(); iters=4
+        for i in range(iters):
+            st, out = tc.track_epochs(iq_d, st, tables, fs=FS, pll_gains=g1,
+                                      dll_gains=g2, epochs_per_step=E, code_ffts=cf)
+        _=np.asarray(out.ip[-1]); dt=(time.perf_counter()-t0)/iters
+        lock = int(round(float(np.abs(np.asarray(out.ip[-50:])).mean())))
+        print(f"{label} E={E}: {dt*1e3:5.0f} ms per 1 s -> {1.0/dt:5.1f}x realtime  lock|ip|~{lock}", flush=True)
 print("PAYLOAD_DONE", flush=True)
