@@ -91,3 +91,24 @@ def test_channel_bars():
     assert "PRN  1" in lines[0] and "PRN 22" in lines[1]
     assert lines[1].count("#") == 10  # strongest fills the bar
     assert "track" in lines[0]
+
+
+def test_latlon_dms_and_day_time():
+    from tpu_gnss.utils import metrics
+    s = metrics.latlon_dms(52.95, -1.15)  # Nottingham-ish
+    assert s.startswith("52°57'00.00\"N")
+    assert "1°09'00.00\"W" in s
+    s2 = metrics.latlon_dms(-33.5, 151.25)
+    assert '"S' in s2 and '"E' in s2
+    # TOW 0 = Sunday 00:00:00; 86400+3723.5 = Monday 01:02:03.5
+    assert metrics.gps_day_time(1910, 0.0) == \
+        "week 1910 Sunday 00:00:00.000 GPS"
+    assert metrics.gps_day_time(1910, 86400 + 3723.5) == \
+        "week 1910 Monday 01:02:03.500 GPS"
+
+
+def test_playback_adsb_profile(capsys):
+    from tpu_gnss.cli import playback
+    playback.main(["plan", "adsb_for_hackrf.bin", "--profile", "adsb"])
+    out = capsys.readouterr().out
+    assert "hackrf_transfer -s 2000000 -f 1176450000" in out

@@ -41,6 +41,9 @@ PROFILES = {
     # hackrf_transfer_script.txt: HDSDR wav capture at 2.8 Msps, tuned
     # 620 kHz low
     "wav": dict(fs=2.8e6, freq=1574.8e6),
+    # adsb/adsb_out.grc: the repo's ADS-B side experiment (same TX chain,
+    # different band) — kept for flowgraph parity
+    "adsb": dict(fs=2e6, freq=1176.45e6),
 }
 
 

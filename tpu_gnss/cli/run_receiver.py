@@ -89,6 +89,13 @@ def main(argv=None) -> int:
         print("\nfixes (n_sats, iters, t_bias, lat, lon, alt):")
         for s in result.solutions:
             print("  " + metrics.solution_line(s))
+        # the reference LCD's DMS + day/time pages (c/user.cpp:160-201)
+        last = result.solutions[-1]
+        print("  " + metrics.latlon_dms(last.lat_deg, last.lon_deg))
+        week = next((r.eph.week for r in result.channels
+                     if r.eph.valid()), None)
+        if week is not None:
+            print("  " + metrics.gps_day_time(int(week), last.t_rx))
     else:
         print("\nno position fix (need >=4 decoded ephemerides; capture "
               "must span >=3 subframes / ~18 s of NAV data)")

@@ -112,3 +112,34 @@ def solution_line(sol) -> str:
     c/solve.cpp:309-315)."""
     return (f"{sol.n_sats},{sol.iterations:3d},{sol.t_bias:10.6f},"
             f"{sol.lat_deg:10.5f},{sol.lon_deg:10.5f},{sol.alt_m:8.2f}")
+
+
+def latlon_dms(lat_deg: float, lon_deg: float) -> str:
+    """Degrees/minutes/seconds position page (reference LCD page 3,
+    c/user.cpp:160-176)."""
+    def dms(v, pos, neg):
+        h = pos if v >= 0 else neg
+        # split from rounded centi-arcseconds so display never shows 60.00"
+        cs = round(abs(v) * 360000.0)
+        d, cs = divmod(cs, 360000)
+        m, cs = divmod(cs, 6000)
+        return f"{d}°{m:02d}'{cs / 100.0:05.2f}\"{h}"
+    return f"{dms(lat_deg, 'N', 'S')} {dms(lon_deg, 'E', 'W')}"
+
+
+def gps_day_time(week: int, tow_s: float) -> str:
+    """GPS day-of-week + UTC-style time page (reference LCD page 4,
+    c/user.cpp:178-201).
+
+    ``tow_s`` is the time of week in seconds; leap seconds are not
+    applied (the reference displays GPS time as well).
+    """
+    days = ("Sunday", "Monday", "Tuesday", "Wednesday", "Thursday",
+            "Friday", "Saturday")
+    tow_s = float(tow_s) % (7 * 86400)
+    day = int(tow_s // 86400)
+    rem = tow_s - day * 86400
+    h = int(rem // 3600)
+    m = int(rem % 3600 // 60)
+    s = rem % 60
+    return f"week {week} {days[day]} {h:02d}:{m:02d}:{s:06.3f} GPS"
