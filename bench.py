@@ -2,8 +2,10 @@
 """Flagship benchmark: full-grid GPS C/A acquisition throughput.
 
 Measures the complete acquisition front end on device — 1-bit quadrature
-mix, forward FFT, 32-PRN x full-Doppler-grid circular correlation, SNR
-peak search — in samples*PRN*Doppler-bin per second.
+mix, Doppler wipe-off + coherent fold, forward FFT, 32-PRN circular
+correlation via the fused MXU kernel (four-step IDFT as two matmuls +
+in-VMEM peak/SNR reduction, tpu_gnss/ops/mxu_corr.py), SNR peak search —
+in samples*PRN*Doppler-bin per second.
 
 Baseline: the reference's published cold-search rate, ~16 Msample*PRN*bin/s
 on a 1.7 GHz Pentium (2.5 s for 32 PRNs x 41 bins x 4 ms @ 10 Msps;
@@ -48,25 +50,28 @@ def main() -> int:
     bits_blocks = jnp.asarray(
         rng.integers(0, 2, (n_blocks, searcher.block_len), dtype=np.uint8))
     period = searcher.period
+    nf = searcher.nf
+    cw_r, cw_i = searcher.mxu_code_planes()
 
     @jax.jit
-    def step(blocks, carry, code_ffts_p, dops_hz):
+    def step(blocks, carry, cw_r, cw_i, dops_hz):
         # data-dependent carry chains reps so the (lazy) backend must
         # really execute every rep sequentially
-        res = F.acquire_folded_batch(
-            blocks ^ carry, code_ffts_p, dops_hz, fs=cfg.fs,
+        res = F.acquire_folded_batch_mxu(
+            blocks ^ carry, cw_r, cw_i, dops_hz, fs=cfg.fs,
             lo_rate=cfg.lo_rate, n_coherent=searcher.n_coherent,
-            dop_chunk=searcher.dop_chunk, from_bits=True, period=period)
+            dop_chunk=searcher.dop_chunk, from_bits=True, period=period,
+            nf=nf)
         return (res.ca_shift[0, 0] & 1).astype(jnp.uint8), res.snr
 
-    carry, out = step(bits_blocks, jnp.uint8(0), searcher.code_ffts_p,
+    carry, out = step(bits_blocks, jnp.uint8(0), cw_r, cw_i,
                       searcher.dops_hz)
     _ = np.asarray(out)  # force compile + first execution
 
-    reps = 4
+    reps = 6
     t0 = time.perf_counter()
     for _ in range(reps):
-        carry, out = step(bits_blocks, carry, searcher.code_ffts_p,
+        carry, out = step(bits_blocks, carry, cw_r, cw_i,
                           searcher.dops_hz)
     _ = np.asarray(out)  # force the whole chain
     dt = (time.perf_counter() - t0) / (reps * n_blocks)

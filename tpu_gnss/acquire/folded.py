@@ -169,6 +169,92 @@ def fold_power_grid_batch(iq_blocks: jnp.ndarray, code_ffts_p: jnp.ndarray,
 
 @functools.partial(
     jax.jit,
+    static_argnames=("fs", "n_coherent", "dop_chunk", "period", "nf",
+                     "interpret"))
+def _corr_reduce_grid_mxu(iq_blocks: jnp.ndarray, cw_r: jnp.ndarray,
+                          cw_i: jnp.ndarray, dops_hz: jnp.ndarray, *,
+                          fs: float, n_coherent: int, dop_chunk: int,
+                          period: int, nf: int, interpret: bool = False):
+    """Wipe/fold/FFT (XLA) + fused MXU correlate-reduce per Doppler chunk.
+
+    Returns ``(peak, lag, tot)`` each ``[B, n_sv, n_dop_padded]`` — the
+    reduced statistics of the power grid without ever materializing it.
+    """
+    from ..ops.mxu_corr import corr_reduce, split_nf
+    n1, n2 = split_nf(nf)
+    b = iq_blocks.shape[0]
+    n = n_coherent * period
+    n_dop = dops_hz.shape[0]
+    pad = (-n_dop) % dop_chunk
+    dops_p = jnp.concatenate([dops_hz, jnp.zeros(pad, dops_hz.dtype)])
+    chunks = dops_p.reshape(-1, dop_chunk)
+
+    iqp = iq_blocks[:, :n].reshape(b, n_coherent, period)
+    c_t = jnp.arange(n_coherent, dtype=jnp.float32) * (period / fs)
+    K = 256
+    njp = -(-period // K)
+    i_t = jnp.arange(K, dtype=jnp.float32) / jnp.float32(fs)
+    j_t = jnp.arange(njp, dtype=jnp.float32) * (K / fs)
+
+    def per_chunk(dop_c):
+        ph_c = -2.0 * jnp.pi * dop_c[:, None] * c_t[None, :]
+        e_c = jax.lax.complex(jnp.cos(ph_c), jnp.sin(ph_c))
+        ph_a = -2.0 * jnp.pi * dop_c[:, None] * i_t[None, :]
+        ph_b = -2.0 * jnp.pi * dop_c[:, None] * j_t[None, :]
+        aa = jax.lax.complex(jnp.cos(ph_a), jnp.sin(ph_a))
+        bb = jax.lax.complex(jnp.cos(ph_b), jnp.sin(ph_b))
+        e_m = (bb[:, :, None] * aa[:, None, :]).reshape(
+            dop_chunk, njp * K)[:, :period]
+        base = jnp.einsum("dc,bcm->bdm", e_c, iqp)
+        folded = e_m[None, :, :] * base
+        f = jnp.fft.fft(folded, n=nf, axis=-1)        # [B, chunk, NF]
+        rows = b * dop_chunk
+        g_r = jnp.real(f).reshape(rows, n1, n2)
+        g_i = (-jnp.imag(f)).reshape(rows, n1, n2)    # conj(f)
+        pk, lg, tt = corr_reduce(g_r, g_i, cw_r, cw_i, period=period,
+                                 interpret=interpret)
+        shp = (b, dop_chunk, -1)
+        return pk.reshape(shp), lg.reshape(shp), tt.reshape(shp)
+
+    pk, lg, tt = jax.lax.map(per_chunk, chunks)  # [n_chunk, B, chunk, sv]
+    fix = lambda a: jnp.moveaxis(a, 0, 1).reshape(
+        b, -1, a.shape[-1]).transpose(0, 2, 1)   # [B, sv, dop_padded]
+    return fix(pk), fix(lg), fix(tt)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("fs", "lo_rate", "n_coherent", "dop_chunk",
+                     "from_bits", "period", "nf", "interpret"))
+def acquire_folded_batch_mxu(samples: jnp.ndarray, cw_r: jnp.ndarray,
+                             cw_i: jnp.ndarray, dops_hz: jnp.ndarray, *,
+                             fs: float, lo_rate: float, n_coherent: int,
+                             dop_chunk: int = 64, from_bits: bool = False,
+                             period: int = 0, nf: int = 0,
+                             interpret: bool = False) -> FoldedResult:
+    """Batched folded acquisition through the fused MXU kernel.
+
+    Same decisions as :func:`acquire_folded_batch` (peak powers within
+    bf16 rounding, ~0.3%); the [sv, dop, P] power grid never touches HBM.
+    ``cw_r/cw_i`` come from ``tpu_gnss.ops.mxu_corr.wrap_code_planes``.
+    """
+    if from_bits:
+        iq = mix_baseband(samples, lo_rate)
+    else:
+        iq = samples.astype(jnp.complex64)
+    n_dop = dops_hz.shape[0]
+    pk, lg, tt = _corr_reduce_grid_mxu(
+        iq, cw_r, cw_i, dops_hz, fs=fs, n_coherent=n_coherent,
+        dop_chunk=dop_chunk, period=period, nf=nf, interpret=interpret)
+    pk, lg, tt = pk[..., :n_dop], lg[..., :n_dop], tt[..., :n_dop]
+    snr = pk / (tt / period)
+    best = snr.argmax(axis=-1)                        # [B, sv]
+    take = lambda a: jnp.take_along_axis(a, best[..., None], -1)[..., 0]
+    return FoldedResult(take(snr), dops_hz[best], take(lg))
+
+
+@functools.partial(
+    jax.jit,
     static_argnames=("fs", "lo_rate", "n_coherent", "dop_chunk",
                      "from_bits", "period"))
 def acquire_folded_batch(samples: jnp.ndarray, code_ffts_p: jnp.ndarray,
@@ -392,14 +478,55 @@ class FoldedSearcher:
             dop_chunk=self.dop_chunk, period=self.period,
             use_pallas=use_pallas)
 
-    def acquire(self, bits=None, iq=None,
-                n_noncoherent: int = 1) -> FoldedResult:
+    def mxu_supported(self) -> bool:
+        """True when the transform length factors for the MXU kernel."""
+        from ..ops.mxu_corr import split_nf
+        try:
+            split_nf(self.nf)
+            return True
+        except ValueError:
+            return False
+
+    def mxu_code_planes(self):
+        """bf16 code-spectrum planes (wrap factor folded in), cached.
+
+        Computed from the host-side replicas (complex device arrays
+        cannot cross the host boundary on some backends).
+        """
+        if not hasattr(self, "_cw_planes"):
+            from ..ops.mxu_corr import wrap_code_planes
+            reps = period_replicas_np(self.cfg.fs, self.cfg.prns)
+            spec = np.fft.fft(reps, n=self.nf, axis=-1)
+            cr, ci = wrap_code_planes(spec, self.period)
+            self._cw_planes = (jnp.asarray(cr), jnp.asarray(ci))
+        return self._cw_planes
+
+    def acquire(self, bits=None, iq=None, n_noncoherent: int = 1,
+                engine: str = "xla") -> FoldedResult:
         """Search one capture segment; optional non-coherent accumulation.
 
         With ``n_noncoherent > 1``, consecutive coherent blocks' power
         grids are summed before the peak search (weak-signal mode).
+
+        ``engine="mxu"`` routes the correlation through the fused MXU
+        kernel (tpu_gnss.ops.mxu_corr) — same decisions, no HBM power
+        grid; single-block only (non-coherent accumulation needs the
+        grid).
         """
         samples, from_bits = self._prep(bits, iq, n_noncoherent)
+        if engine == "mxu":
+            if n_noncoherent != 1:
+                raise ValueError("mxu engine is single-block "
+                                 "(non-coherent sums need power grids)")
+            cw_r, cw_i = self.mxu_code_planes()
+            interp = jax.devices()[0].platform not in ("tpu", "axon")
+            res = acquire_folded_batch_mxu(
+                samples[None, : self.block_len], cw_r, cw_i, self.dops_hz,
+                fs=self.cfg.fs, lo_rate=self.cfg.lo_rate,
+                n_coherent=self.n_coherent, dop_chunk=self.dop_chunk,
+                from_bits=from_bits, period=self.period, nf=self.nf,
+                interpret=interp)
+            return FoldedResult(*(a[0] for a in res))
         return acquire_folded(samples, self.code_ffts_p, self.dops_hz,
                               fs=self.cfg.fs, lo_rate=self.cfg.lo_rate,
                               n_coherent=self.n_coherent,
