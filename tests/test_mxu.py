@@ -72,10 +72,21 @@ def test_mxu_engine_matches_xla_decisions():
     assert det_x == det_m == {7, 21}
 
 
-def test_mxu_engine_rejects_noncoherent():
+def test_mxu_engine_noncoherent_matches_xla():
+    """Non-coherent accumulation inside the kernel == XLA grid sums."""
     cfg = ReceiverConfig(fs=1.024e6, fc=0.256e6, max_fo=5000.0,
                          fft_len=4096)
     s = F.FoldedSearcher(cfg, n_coherent=2, dop_chunk=8)
-    iq = np.zeros(2 * s.block_len, np.complex64)
-    with pytest.raises(ValueError):
-        s.acquire(iq=iq, n_noncoherent=2, engine="mxu")
+    sv = synth.SvSignal(prn=13, doppler_hz=900.0, code_phase_chips=42.0,
+                        amplitude=0.35)  # weak: needs accumulation
+    iq = synth.synth_baseband([sv], cfg.fs, 3 * s.block_len,
+                              noise_std=1.0, seed=11)
+    res_x = s.acquire(iq=iq, n_noncoherent=3)
+    res_m = s.acquire(iq=iq, n_noncoherent=3, engine="mxu")
+    i = 12
+    assert int(np.asarray(res_m.ca_shift)[i]) == \
+        int(np.asarray(res_x.ca_shift)[i])
+    assert float(np.asarray(res_m.doppler_hz)[i]) == \
+        float(np.asarray(res_x.doppler_hz)[i])
+    np.testing.assert_allclose(np.asarray(res_m.snr)[i],
+                               np.asarray(res_x.snr)[i], rtol=0.02)

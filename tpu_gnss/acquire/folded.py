@@ -170,15 +170,19 @@ def fold_power_grid_batch(iq_blocks: jnp.ndarray, code_ffts_p: jnp.ndarray,
 @functools.partial(
     jax.jit,
     static_argnames=("fs", "n_coherent", "dop_chunk", "period", "nf",
-                     "interpret"))
+                     "interpret", "accumulate"))
 def _corr_reduce_grid_mxu(iq_blocks: jnp.ndarray, cw_r: jnp.ndarray,
                           cw_i: jnp.ndarray, dops_hz: jnp.ndarray, *,
                           fs: float, n_coherent: int, dop_chunk: int,
-                          period: int, nf: int, interpret: bool = False):
+                          period: int, nf: int, interpret: bool = False,
+                          accumulate: bool = False):
     """Wipe/fold/FFT (XLA) + fused MXU correlate-reduce per Doppler chunk.
 
     Returns ``(peak, lag, tot)`` each ``[B, n_sv, n_dop_padded]`` — the
     reduced statistics of the power grid without ever materializing it.
+    With ``accumulate=True`` the B axis is summed non-coherently inside
+    the kernel (|corr|² of the B blocks added per Doppler before the
+    peak search) and the leading output axis is 1.
     """
     from ..ops.mxu_corr import corr_reduce, split_nf
     n1, n2 = split_nf(nf)
@@ -208,35 +212,49 @@ def _corr_reduce_grid_mxu(iq_blocks: jnp.ndarray, cw_r: jnp.ndarray,
         base = jnp.einsum("dc,bcm->bdm", e_c, iqp)
         folded = e_m[None, :, :] * base
         f = jnp.fft.fft(folded, n=nf, axis=-1)        # [B, chunk, NF]
-        rows = b * dop_chunk
-        g_r = jnp.real(f).reshape(rows, n1, n2)
-        g_i = (-jnp.imag(f)).reshape(rows, n1, n2)    # conj(f)
+        if accumulate:
+            # rows = Doppler bins; the block axis sums in the kernel
+            g_r = jnp.real(f).transpose(1, 0, 2).reshape(
+                dop_chunk, b, n1, n2)
+            g_i = (-jnp.imag(f)).transpose(1, 0, 2).reshape(
+                dop_chunk, b, n1, n2)
+            shp = (1, dop_chunk, -1)
+        else:
+            rows = b * dop_chunk
+            g_r = jnp.real(f).reshape(rows, n1, n2)
+            g_i = (-jnp.imag(f)).reshape(rows, n1, n2)    # conj(f)
+            shp = (b, dop_chunk, -1)
         pk, lg, tt = corr_reduce(g_r, g_i, cw_r, cw_i, period=period,
                                  interpret=interpret)
-        shp = (b, dop_chunk, -1)
         return pk.reshape(shp), lg.reshape(shp), tt.reshape(shp)
 
-    pk, lg, tt = jax.lax.map(per_chunk, chunks)  # [n_chunk, B, chunk, sv]
+    pk, lg, tt = jax.lax.map(per_chunk, chunks)  # [n_chunk, B', chunk, sv]
+    out_b = 1 if accumulate else b
     fix = lambda a: jnp.moveaxis(a, 0, 1).reshape(
-        b, -1, a.shape[-1]).transpose(0, 2, 1)   # [B, sv, dop_padded]
+        out_b, -1, a.shape[-1]).transpose(0, 2, 1)   # [B', sv, dop_padded]
     return fix(pk), fix(lg), fix(tt)
 
 
 @functools.partial(
     jax.jit,
     static_argnames=("fs", "lo_rate", "n_coherent", "dop_chunk",
-                     "from_bits", "period", "nf", "interpret"))
+                     "from_bits", "period", "nf", "interpret",
+                     "accumulate"))
 def acquire_folded_batch_mxu(samples: jnp.ndarray, cw_r: jnp.ndarray,
                              cw_i: jnp.ndarray, dops_hz: jnp.ndarray, *,
                              fs: float, lo_rate: float, n_coherent: int,
                              dop_chunk: int = 64, from_bits: bool = False,
                              period: int = 0, nf: int = 0,
-                             interpret: bool = False) -> FoldedResult:
+                             interpret: bool = False,
+                             accumulate: bool = False) -> FoldedResult:
     """Batched folded acquisition through the fused MXU kernel.
 
     Same decisions as :func:`acquire_folded_batch` (peak powers within
     bf16 rounding, ~0.3%); the [sv, dop, P] power grid never touches HBM.
     ``cw_r/cw_i`` come from ``tpu_gnss.ops.mxu_corr.wrap_code_planes``.
+    ``accumulate=True`` treats the batch axis as successive blocks of
+    one capture and sums their power non-coherently in the kernel
+    (weak-signal mode); the result batch axis is then 1.
     """
     if from_bits:
         iq = mix_baseband(samples, lo_rate)
@@ -245,7 +263,8 @@ def acquire_folded_batch_mxu(samples: jnp.ndarray, cw_r: jnp.ndarray,
     n_dop = dops_hz.shape[0]
     pk, lg, tt = _corr_reduce_grid_mxu(
         iq, cw_r, cw_i, dops_hz, fs=fs, n_coherent=n_coherent,
-        dop_chunk=dop_chunk, period=period, nf=nf, interpret=interpret)
+        dop_chunk=dop_chunk, period=period, nf=nf, interpret=interpret,
+        accumulate=accumulate)
     pk, lg, tt = pk[..., :n_dop], lg[..., :n_dop], tt[..., :n_dop]
     snr = pk / (tt / period)
     best = snr.argmax(axis=-1)                        # [B, sv]
@@ -510,22 +529,21 @@ class FoldedSearcher:
 
         ``engine="mxu"`` routes the correlation through the fused MXU
         kernel (tpu_gnss.ops.mxu_corr) — same decisions, no HBM power
-        grid; single-block only (non-coherent accumulation needs the
-        grid).
+        grid; with ``n_noncoherent > 1`` the per-block powers sum inside
+        the kernel.
         """
         samples, from_bits = self._prep(bits, iq, n_noncoherent)
         if engine == "mxu":
-            if n_noncoherent != 1:
-                raise ValueError("mxu engine is single-block "
-                                 "(non-coherent sums need power grids)")
             cw_r, cw_i = self.mxu_code_planes()
             interp = jax.devices()[0].platform not in ("tpu", "axon")
+            blocks = samples[: n_noncoherent * self.block_len].reshape(
+                n_noncoherent, self.block_len)
             res = acquire_folded_batch_mxu(
-                samples[None, : self.block_len], cw_r, cw_i, self.dops_hz,
+                blocks, cw_r, cw_i, self.dops_hz,
                 fs=self.cfg.fs, lo_rate=self.cfg.lo_rate,
                 n_coherent=self.n_coherent, dop_chunk=self.dop_chunk,
                 from_bits=from_bits, period=self.period, nf=self.nf,
-                interpret=interp)
+                interpret=interp, accumulate=True)
             return FoldedResult(*(a[0] for a in res))
         return acquire_folded(samples, self.code_ffts_p, self.dops_hz,
                               fs=self.cfg.fs, lo_rate=self.cfg.lo_rate,

@@ -82,15 +82,13 @@ def wrap_code_planes(code_ffts_p: np.ndarray, period: int
     return cr, ci
 
 
-def _kernel_factory(n_sv: int, n1: int, n2: int, period: int):
+def _kernel_factory(n_sv: int, n1: int, n2: int, period: int, n_acc: int):
     from jax.experimental import pallas as pl  # noqa: F401
 
     def kernel(g_r_ref, g_i_ref, cw_r_ref, cw_i_ref,
                e1r_ref, e1i_ref, twr_ref, twi_ref, e2r_ref, e2i_ref,
                peak_ref, lag_ref, tot_ref):
         row = pl.program_id(0)
-        gr = g_r_ref[0]                     # [n1, n2] f32
-        gi = g_i_ref[0]
         e1r, e1i = e1r_ref[:], e1i_ref[:]   # bf16
         e2r, e2i = e2r_ref[:], e2i_ref[:]
         twr, twi = twr_ref[:], twi_ref[:]
@@ -115,19 +113,25 @@ def _kernel_factory(n_sv: int, n1: int, n2: int, period: int):
         ttv = jnp.zeros((1, 128), jnp.float32)
 
         for sv in range(n_sv):
-            # spectrum product M = cw[sv] * g  (f32 on the VPU)
             cr = cw_r_ref[sv].astype(jnp.float32)
             ci = cw_i_ref[sv].astype(jnp.float32)
-            mr = cr * gr - ci * gi
-            mi = cr * gi + ci * gr
-            # four-step inverse DFT: R = (E1 @ M * tw) @ E2 on the MXU
-            f1r, f1i = mm(e1r, e1i, mr.astype(jnp.bfloat16),
-                          mi.astype(jnp.bfloat16))
-            t_r = f1r * twr - f1i * twi
-            t_i = f1r * twi + f1i * twr
-            rr, ri = mm(t_r.astype(jnp.bfloat16), t_i.astype(jnp.bfloat16),
-                        e2r, e2i)
-            pwr = rr * rr + ri * ri
+            pwr = jnp.zeros((n1, n2), jnp.float32)
+            # non-coherent accumulation: power sums over the n_acc
+            # blocks of this row before the peak search
+            for b in range(n_acc):
+                gr = g_r_ref[0, b]          # [n1, n2] f32
+                gi = g_i_ref[0, b]
+                # spectrum product M = cw[sv] * g  (f32 on the VPU)
+                mr = cr * gr - ci * gi
+                mi = cr * gi + ci * gr
+                # four-step inverse DFT: R = (E1 @ M * tw) @ E2 (MXU)
+                f1r, f1i = mm(e1r, e1i, mr.astype(jnp.bfloat16),
+                              mi.astype(jnp.bfloat16))
+                t_r = f1r * twr - f1i * twi
+                t_i = f1r * twi + f1i * twr
+                rr, ri = mm(t_r.astype(jnp.bfloat16),
+                            t_i.astype(jnp.bfloat16), e2r, e2i)
+                pwr = pwr + rr * rr + ri * ri
             pwr_m = jnp.where(valid, pwr, 0.0)
             pk = jnp.max(pwr_m)
             # first-max-wins lag (smallest lag among peak cells)
@@ -154,9 +158,12 @@ def corr_reduce(g_r: jnp.ndarray, g_i: jnp.ndarray,
     """Reduced circular correlation for every (row, SV) pair.
 
     Args:
-      g_r/g_i: ``[rows, n1, n2]`` float32 planes of the CONJUGATED
-        wiped+folded data spectra (row = one Doppler of one block),
-        reshaped row-major from length-NF spectra.
+      g_r/g_i: ``[rows, n1, n2]`` (or ``[rows, n_acc, n1, n2]`` for
+        non-coherent accumulation) float32 planes of the CONJUGATED
+        wiped+folded data spectra (row = one Doppler; with an ``n_acc``
+        axis, that Doppler's spectra from n_acc successive blocks whose
+        |corr|² sum before the peak search), reshaped row-major from
+        length-NF spectra.
       cw_r/cw_i: ``[n_sv, n1, n2]`` bf16 planes from
         :func:`wrap_code_planes` (wrap factor folded in).
       period: P = fs/1000 valid lags.
@@ -166,11 +173,14 @@ def corr_reduce(g_r: jnp.ndarray, g_i: jnp.ndarray,
     a unitary inverse FFT (SNR = peak/(tot/P) is scale-free).
     """
     from jax.experimental import pallas as pl
-    rows, n1, n2 = g_r.shape
+    if g_r.ndim == 3:
+        g_r = g_r[:, None]
+        g_i = g_i[:, None]
+    rows, n_acc, n1, n2 = g_r.shape
     n_sv = cw_r.shape[0]
     nf = n1 * n2
     e1r, e1i, twr, twi, e2r, e2i = idft_tables(nf)
-    kernel = _kernel_factory(n_sv, n1, n2, period)
+    kernel = _kernel_factory(n_sv, n1, n2, period, n_acc)
 
     full = lambda a: pl.BlockSpec(a.shape, lambda i: (0,) * a.ndim)
     out_shape = [jax.ShapeDtypeStruct((rows, 128), jnp.float32),
@@ -183,8 +193,8 @@ def corr_reduce(g_r: jnp.ndarray, g_i: jnp.ndarray,
     peak, lag, tot = pl.pallas_call(
         kernel,
         grid=(rows,),
-        in_specs=[pl.BlockSpec((1, n1, n2), lambda i: (i, 0, 0)),
-                  pl.BlockSpec((1, n1, n2), lambda i: (i, 0, 0)),
+        in_specs=[pl.BlockSpec((1, n_acc, n1, n2), lambda i: (i, 0, 0, 0)),
+                  pl.BlockSpec((1, n_acc, n1, n2), lambda i: (i, 0, 0, 0)),
                   full(cw_r), full(cw_i),
                   full(e1r_j), full(e1i_j), full(twr_j), full(twi_j),
                   full(e2r_j), full(e2i_j)],
