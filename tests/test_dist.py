@@ -102,3 +102,37 @@ def test_channel_sharded_tracking_matches_single():
     np.testing.assert_allclose(np.asarray(got_state.code_phase),
                                np.asarray(want_state.code_phase),
                                rtol=0, atol=1e-3)
+
+
+def test_folded_mxu_sharded_matches_single():
+    """Sharded folded-MXU acquisition == single-device mxu engine."""
+    from tpu_gnss.acquire import folded as F
+
+    cfg = ReceiverConfig(fs=1.024e6, fc=0.256e6, max_fo=5000.0,
+                         fft_len=4096)
+    s = F.FoldedSearcher(cfg, n_coherent=4, dop_chunk=2)
+    svs = [synth.SvSignal(prn=17, doppler_hz=1500.0,
+                          code_phase_chips=417.0)]
+    rng = np.random.default_rng(4)
+    iq0 = synth.synth_baseband(svs, cfg.fs, s.block_len, noise_std=0.8,
+                               seed=4)
+    noise = (rng.standard_normal(s.block_len)
+             + 1j * rng.standard_normal(s.block_len)).astype(np.complex64)
+    blocks = jnp.asarray(np.stack([iq0, noise, iq0, noise]))
+
+    want = s.acquire(iq=jnp.asarray(iq0), engine="mxu")
+
+    mesh = shard.make_mesh(8, axes=("blk", "dop"), shape=(2, 4))
+    cw_r, cw_i = s.mxu_code_planes()
+    dops = shard.pad_dops(np.asarray(s.dops_hz), 4, 2)
+    got = shard.acquire_folded_sharded(
+        blocks, cw_r, cw_i, jnp.asarray(dops), mesh=mesh, fs=cfg.fs,
+        lo_rate=cfg.lo_rate, n_coherent=s.n_coherent, dop_chunk=2,
+        period=s.period, nf=s.nf, from_bits=False, interpret=True)
+
+    for b in (0, 2):
+        assert int(got.ca_shift[b][16]) == int(want.ca_shift[16])
+        assert float(got.doppler_hz[b][16]) == float(want.doppler_hz[16])
+        np.testing.assert_allclose(float(got.snr[b][16]),
+                                   float(want.snr[16]), rtol=1e-4)
+    assert float(np.max(np.asarray(got.snr[1]))) < 25

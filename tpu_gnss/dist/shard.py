@@ -87,6 +87,50 @@ def acquire_from_fft_sharded(data_fft: jnp.ndarray, code_ffts: jnp.ndarray,
     return fn(data_fft, code_ffts, dops)
 
 
+@functools.partial(jax.jit,
+                   static_argnames=("mesh", "fs", "lo_rate", "n_coherent",
+                                    "dop_chunk", "period", "nf",
+                                    "from_bits", "interpret"))
+def acquire_folded_sharded(blocks: jnp.ndarray, cw_r: jnp.ndarray,
+                           cw_i: jnp.ndarray, dops_hz: jnp.ndarray, *,
+                           mesh: Mesh, fs: float, lo_rate: float,
+                           n_coherent: int, dop_chunk: int = 16,
+                           period: int = 0, nf: int = 0,
+                           from_bits: bool = True,
+                           interpret: bool = False):
+    """Block+Doppler sharded folded acquisition through the MXU kernel.
+
+    The fast single-chip engine (tpu_gnss.ops.mxu_corr) is also the
+    scale-out engine: each (blk, dop) device wipes/folds/correlates its
+    capture blocks over its contiguous Doppler slice, then per-device
+    bests are all-gathered and reduced in device order (ascending
+    Doppler, so tie-breaks match the serial scan).  ``dops_hz`` must
+    divide by mesh['dop'] (:func:`pad_dops`), ``blocks`` by mesh['blk'].
+    """
+    from ..acquire.folded import FoldedResult, acquire_folded_batch_mxu
+    assert blocks.shape[0] % mesh.shape["blk"] == 0
+    assert dops_hz.shape[0] % mesh.shape["dop"] == 0
+
+    def body(blocks_local, cw_r, cw_i, dops_local):
+        res = acquire_folded_batch_mxu(
+            blocks_local, cw_r, cw_i, dops_local, fs=fs, lo_rate=lo_rate,
+            n_coherent=n_coherent, dop_chunk=dop_chunk,
+            from_bits=from_bits, period=period, nf=nf, interpret=interpret)
+        snr_g = jax.lax.all_gather(res.snr, "dop")    # [ndev, blk, n_sv]
+        dop_g = jax.lax.all_gather(res.doppler_hz, "dop")
+        lag_g = jax.lax.all_gather(res.ca_shift, "dop")
+        idx = jnp.argmax(snr_g, axis=0)
+        take = lambda a: jnp.take_along_axis(a, idx[None], 0)[0]
+        return FoldedResult(take(snr_g), take(dop_g), take(lag_g))
+
+    fn = jax.shard_map(
+        body, mesh=mesh,
+        in_specs=(P("blk"), P(), P(), P("dop")),
+        out_specs=FoldedResult(P("blk"), P("blk"), P("blk")),
+        check_vma=False)
+    return fn(blocks, cw_r, cw_i, dops_hz)
+
+
 def track_epochs_sharded(samples: jnp.ndarray, state, code_tables, *,
                          mesh: Mesh, axis: str = "blk", fs: float,
                          pll_gains, dll_gains):
