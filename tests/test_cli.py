@@ -59,3 +59,16 @@ def test_quirk_ignore_max_fo(synth_fixture_path):
         main([synth_fixture_path, "2.046e6", "8.184e6", "999999",
               "--quirk-ignore-max-fo", "--max-runs", "1"])
     assert "max_fo=5000" in buf.getvalue()
+
+
+def test_folded_mode_runs(synth_fixture_path):
+    """Fast-engine capture scan finds PRN 8 on the first coherent block."""
+    from tpu_gnss.cli.gps_test import main
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        main([synth_fixture_path, "2.046e6", "8.184e6", "5000",
+              "--mode", "folded", "--max-runs", "2"])
+    out = buf.getvalue()
+    sat_row = [l for l in out.splitlines()
+               if l.startswith(" 0 satellite:")][0]
+    assert " 7 " in sat_row

@@ -62,7 +62,11 @@ def main(argv=None) -> int:
                    help="sampling rate (default 5.456e6)")
     p.add_argument("max_fo", type=float, nargs="?", default=5000.0,
                    help="max Doppler searched, Hz")
-    p.add_argument("--mode", choices=["compat", "native"], default="compat")
+    p.add_argument("--mode", choices=["compat", "native", "folded"],
+                   default="compat",
+                   help="compat: reference-exact block sweep; native: all "
+                        "PRNs per block; folded: fast engine (fused MXU "
+                        "kernel on TPU)")
     p.add_argument("--threshold", type=float, default=25.0)
     p.add_argument("--max-runs", type=int, default=None)
     p.add_argument("--quirk-ignore-max-fo", action="store_true",

@@ -44,6 +44,10 @@ def run_capture(path: str, cfg: ReceiverConfig, mode: str = "compat",
 
     native: one run = one fft_len block searched for all PRNs, stride
     fft_len.
+
+    folded: one run = one coherent block (4 code periods) through the
+    folded engine — the fused MXU kernel on TPU, the XLA path elsewhere;
+    the fast whole-capture scan mode.
     """
     searcher = Searcher(cfg)
     n_sv = len(cfg.prns)
@@ -72,6 +76,35 @@ def run_capture(path: str, cfg: ReceiverConfig, mode: str = "compat",
                 bits = loaders.unpack_1bit(raw)
                 res = searcher.acquire_bits(bits)
                 yield _result_to_run(searcher, run, res)
+                run += 1
+    elif mode == "folded":
+        import jax
+        import jax.numpy as jnp
+        from ..acquire.folded import FoldedSearcher
+        fsearch = FoldedSearcher(cfg)
+        engine = ("mxu" if fsearch.mxu_supported() and
+                  jax.devices()[0].platform in ("tpu", "axon") else "xla")
+        need = fsearch.block_len
+        buf = np.zeros(0, np.uint8)
+        run = 0
+        with open(path, "rb") as f:
+            while max_runs is None or run < max_runs:
+                while len(buf) < need:
+                    raw = f.read(1 << 20)
+                    if not raw:
+                        break
+                    buf = np.concatenate([buf, loaders.unpack_1bit(raw)])
+                if len(buf) < need:
+                    break
+                bits, buf = buf[:need], buf[need:]
+                res = fsearch.acquire(bits=jnp.asarray(bits), engine=engine)
+                hits = fsearch.detections(res)
+                yield dict(run=run, hits=hits,
+                           all_snr=np.asarray(res.snr),
+                           lo_shift=np.asarray(
+                               np.round(np.asarray(res.doppler_hz)
+                                        / cfg.dop_bin_hz)).astype(int),
+                           ca_shift=np.asarray(res.ca_shift))
                 run += 1
     else:
         raise ValueError(f"unknown mode {mode!r}")
