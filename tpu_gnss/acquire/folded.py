@@ -107,6 +107,44 @@ def fold_power_grid(iq: jnp.ndarray, code_ffts_p: jnp.ndarray,
     return pwr[0]
 
 
+def _fold_fft_maker(iq_blocks: jnp.ndarray, *, fs: float, n_coherent: int,
+                    period: int, nf: int, dop_chunk: int):
+    """Shared wipe/fold/FFT prologue of both folded engines.
+
+    Exact wipe-off + fold as one small matmul: phase is additive over
+    periods, ``e^(-j2πf(cP+m)/fs) = E[f,c] * e_m[f,m]``, so
+    ``folded[f,m] = e_m[f,m] * Σ_c E[f,c] iq[cP+m]`` — the Σ_c is a
+    [chunk, NC] x [NC, P] complex matmul instead of materializing a
+    [chunk, n] mixed array per Doppler.  ``e_m`` itself is built from
+    K + P/K trig evaluations via the same phase split.
+
+    Returns ``fold_fft(dop_c [chunk]) -> f [B, chunk, NF]``, the spectra
+    of the wiped+folded blocks.
+    """
+    b = iq_blocks.shape[0]
+    n = n_coherent * period
+    iqp = iq_blocks[:, :n].reshape(b, n_coherent, period)
+    c_t = jnp.arange(n_coherent, dtype=jnp.float32) * (period / fs)
+    K = 256
+    njp = -(-period // K)
+    i_t = jnp.arange(K, dtype=jnp.float32) / jnp.float32(fs)
+    j_t = jnp.arange(njp, dtype=jnp.float32) * (K / fs)
+
+    def fold_fft(dop_c):
+        ph_c = -2.0 * jnp.pi * dop_c[:, None] * c_t[None, :]
+        e_c = jax.lax.complex(jnp.cos(ph_c), jnp.sin(ph_c))  # [chunk, NC]
+        ph_a = -2.0 * jnp.pi * dop_c[:, None] * i_t[None, :]
+        ph_b = -2.0 * jnp.pi * dop_c[:, None] * j_t[None, :]
+        aa = jax.lax.complex(jnp.cos(ph_a), jnp.sin(ph_a))   # [chunk, K]
+        bb = jax.lax.complex(jnp.cos(ph_b), jnp.sin(ph_b))   # [chunk, njp]
+        e_m = (bb[:, :, None] * aa[:, None, :]).reshape(
+            dop_chunk, njp * K)[:, :period]                  # [chunk, P]
+        base = jnp.einsum("dc,bcm->bdm", e_c, iqp)           # [B, chunk, P]
+        return jnp.fft.fft(e_m[None, :, :] * base, n=nf, axis=-1)
+
+    return fold_fft
+
+
 @functools.partial(jax.jit,
                    static_argnames=("fs", "n_coherent", "dop_chunk",
                                     "period"))
@@ -125,37 +163,15 @@ def fold_power_grid_batch(iq_blocks: jnp.ndarray, code_ffts_p: jnp.ndarray,
     b, n_in = iq_blocks.shape
     nf = code_ffts_p.shape[-1]
     p = period or nf
-    n = n_coherent * p
     n_dop = dops_hz.shape[0]
     pad = (-n_dop) % dop_chunk
     dops_p = jnp.concatenate([dops_hz, jnp.zeros(pad, dops_hz.dtype)])
     chunks = dops_p.reshape(-1, dop_chunk)
-
-    # Exact wipe-off + fold as one small matmul: phase is additive over
-    # periods, e^(-j2πf(cP+m)/fs) = E[f,c] * e_m[f,m], so
-    #   folded[f,m] = e_m[f,m] * Σ_c E[f,c] iq[cP+m]
-    # — the Σ_c is a [chunk, NC] x [NC, P] complex matmul instead of
-    # materializing a [chunk, n] mixed array per Doppler.  e_m itself is
-    # built from K + P/K trig evaluations via the same phase split.
-    iqp = iq_blocks[:, :n].reshape(b, n_coherent, p)
-    c_t = jnp.arange(n_coherent, dtype=jnp.float32) * (p / fs)
-    K = 256
-    njp = -(-p // K)
-    i_t = jnp.arange(K, dtype=jnp.float32) / jnp.float32(fs)
-    j_t = jnp.arange(njp, dtype=jnp.float32) * (K / fs)
+    fold_fft = _fold_fft_maker(iq_blocks, fs=fs, n_coherent=n_coherent,
+                               period=p, nf=nf, dop_chunk=dop_chunk)
 
     def per_chunk(dop_c):
-        ph_c = -2.0 * jnp.pi * dop_c[:, None] * c_t[None, :]
-        e_c = jax.lax.complex(jnp.cos(ph_c), jnp.sin(ph_c))  # [chunk, NC]
-        ph_a = -2.0 * jnp.pi * dop_c[:, None] * i_t[None, :]
-        ph_b = -2.0 * jnp.pi * dop_c[:, None] * j_t[None, :]
-        aa = jax.lax.complex(jnp.cos(ph_a), jnp.sin(ph_a))   # [chunk, K]
-        bb = jax.lax.complex(jnp.cos(ph_b), jnp.sin(ph_b))   # [chunk, njp]
-        e_m = (bb[:, :, None] * aa[:, None, :]).reshape(
-            dop_chunk, njp * K)[:, :p]                       # [chunk, P]
-        base = jnp.einsum("dc,bcm->bdm", e_c, iqp)           # [B, chunk, P]
-        folded = e_m[None, :, :] * base
-        f = jnp.fft.fft(folded, n=nf, axis=-1)               # [B, chunk, NF]
+        f = fold_fft(dop_c)                                  # [B, chunk, NF]
         prod = code_ffts_p[None, :, None, :] * jnp.conj(f)[:, None, :, :]
         lin = jnp.fft.ifft(prod, axis=-1)                    # [B, sv, chunk, NF]
         corr = lin[..., :p] if nf == p else lin[..., :p] + lin[..., nf - p:]
@@ -187,31 +203,15 @@ def _corr_reduce_grid_mxu(iq_blocks: jnp.ndarray, cw_r: jnp.ndarray,
     from ..ops.mxu_corr import corr_reduce, split_nf
     n1, n2 = split_nf(nf)
     b = iq_blocks.shape[0]
-    n = n_coherent * period
     n_dop = dops_hz.shape[0]
     pad = (-n_dop) % dop_chunk
     dops_p = jnp.concatenate([dops_hz, jnp.zeros(pad, dops_hz.dtype)])
     chunks = dops_p.reshape(-1, dop_chunk)
-
-    iqp = iq_blocks[:, :n].reshape(b, n_coherent, period)
-    c_t = jnp.arange(n_coherent, dtype=jnp.float32) * (period / fs)
-    K = 256
-    njp = -(-period // K)
-    i_t = jnp.arange(K, dtype=jnp.float32) / jnp.float32(fs)
-    j_t = jnp.arange(njp, dtype=jnp.float32) * (K / fs)
+    fold_fft = _fold_fft_maker(iq_blocks, fs=fs, n_coherent=n_coherent,
+                               period=period, nf=nf, dop_chunk=dop_chunk)
 
     def per_chunk(dop_c):
-        ph_c = -2.0 * jnp.pi * dop_c[:, None] * c_t[None, :]
-        e_c = jax.lax.complex(jnp.cos(ph_c), jnp.sin(ph_c))
-        ph_a = -2.0 * jnp.pi * dop_c[:, None] * i_t[None, :]
-        ph_b = -2.0 * jnp.pi * dop_c[:, None] * j_t[None, :]
-        aa = jax.lax.complex(jnp.cos(ph_a), jnp.sin(ph_a))
-        bb = jax.lax.complex(jnp.cos(ph_b), jnp.sin(ph_b))
-        e_m = (bb[:, :, None] * aa[:, None, :]).reshape(
-            dop_chunk, njp * K)[:, :period]
-        base = jnp.einsum("dc,bcm->bdm", e_c, iqp)
-        folded = e_m[None, :, :] * base
-        f = jnp.fft.fft(folded, n=nf, axis=-1)        # [B, chunk, NF]
+        f = fold_fft(dop_c)                           # [B, chunk, NF]
         if accumulate:
             # rows = Doppler bins; the block axis sums in the kernel
             g_r = jnp.real(f).transpose(1, 0, 2).reshape(

@@ -49,9 +49,9 @@ def run_capture(path: str, cfg: ReceiverConfig, mode: str = "compat",
     folded engine — the fused MXU kernel on TPU, the XLA path elsewhere;
     the fast whole-capture scan mode.
     """
-    searcher = Searcher(cfg)
     n_sv = len(cfg.prns)
     if mode == "compat":
+        searcher = Searcher(cfg)
         stride_bits = block_stride_samples(cfg.fft_len)
         stride_bytes = stride_bits // 8
         run = 0
@@ -65,6 +65,7 @@ def run_capture(path: str, cfg: ReceiverConfig, mode: str = "compat",
                 yield _result_to_run(searcher, run, res)
                 run += 1
     elif mode == "native":
+        searcher = Searcher(cfg)
         block_bytes = cfg.fft_len // 8
         assert cfg.fft_len % 8 == 0
         run = 0

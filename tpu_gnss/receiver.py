@@ -97,8 +97,10 @@ class Receiver:
         self.reacq_interval_s = reacq_interval_s
         self.fft_correlator = fft_correlator
         # strong-signal Costas gain reduction (reference:
-        # c/channel.cpp:265-288); (lo, hi) on the running prompt power
-        self.agc_thresholds = agc_thresholds
+        # c/channel.cpp:265-288); (lo, hi) on the running prompt power.
+        # tuple() because it becomes a hashable jit-static argument.
+        self.agc_thresholds = (tuple(agc_thresholds)
+                               if agc_thresholds is not None else None)
 
     # ------------------------------------------------------------------
     def process_iq(self, iq: np.ndarray, max_channels: Optional[int] = None,

@@ -40,7 +40,8 @@ def apply_channel(iq: np.ndarray, fs: float, *,
       freq_offset_hz: carrier frequency offset (TX/RX oscillator
         mismatch); applied as ``exp(+j 2π f t)``.
       delay_samples: propagation delay, may be fractional (linear
-        interpolation); the head is zero-filled so length is preserved.
+        interpolation) and negative (advance); the vacated end is
+        zero-filled so length is preserved.
       gain: amplitude scale.
       phase_rad: constant carrier phase rotation.
       noise_std: std-dev of complex AWGN added per I/Q rail.
@@ -53,14 +54,18 @@ def apply_channel(iq: np.ndarray, fs: float, *,
     if delay_samples:
         d_int = int(np.floor(delay_samples))
         frac = float(delay_samples - d_int)
-        shifted = np.zeros(n, np.complex128)
-        if d_int < n:
-            shifted[d_int:] = y[: n - d_int]
+
+        def shift_int(d: int) -> np.ndarray:
+            out = np.zeros(n, np.complex128)
+            if 0 <= d < n:
+                out[d:] = y[: n - d]
+            elif -n < d < 0:
+                out[: n + d] = y[-d:]
+            return out
+
+        shifted = shift_int(d_int)
         if frac:
-            prev = np.zeros(n, np.complex128)
-            if d_int + 1 < n:
-                prev[d_int + 1:] = y[: n - d_int - 1]
-            shifted = (1.0 - frac) * shifted + frac * prev
+            shifted = (1.0 - frac) * shifted + frac * shift_int(d_int + 1)
         y = shifted
     if freq_offset_hz or phase_rad:
         t = np.arange(n, dtype=np.float64) / fs

@@ -136,10 +136,10 @@ def gps_day_time(week: int, tow_s: float) -> str:
     """
     days = ("Sunday", "Monday", "Tuesday", "Wednesday", "Thursday",
             "Friday", "Saturday")
-    tow_s = float(tow_s) % (7 * 86400)
-    day = int(tow_s // 86400)
-    rem = tow_s - day * 86400
-    h = int(rem // 3600)
-    m = int(rem % 3600 // 60)
-    s = rem % 60
-    return f"week {week} {days[day]} {h:02d}:{m:02d}:{s:06.3f} GPS"
+    # split from rounded milliseconds so display never shows :60.000
+    ms = round(float(tow_s) * 1000.0) % (7 * 86400 * 1000)
+    day, ms = divmod(ms, 86400 * 1000)
+    h, ms = divmod(ms, 3600 * 1000)
+    m, ms = divmod(ms, 60 * 1000)
+    return (f"week {week} {days[day]} {h:02d}:{m:02d}:"
+            f"{ms / 1000.0:06.3f} GPS")
