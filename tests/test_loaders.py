@@ -93,3 +93,44 @@ def test_convert_1bit_to_iq8(tmp_path, rng):
 def test_real_to_1bit_convention():
     y = np.array([1.0, -1.0, 0.5, -0.5])
     np.testing.assert_array_equal(loaders.real_to_1bit(y), [0, 1, 0, 1])
+
+
+def test_native_iq_to_1bit_matches_numpy(tmp_path, rng):
+    """Streamed native SDR-capture converters == the numpy reference."""
+    from tpu_gnss.io import loaders, native
+
+    # rtl-sdr style uint8 pairs with a DC offset
+    n = 40000
+    raw_u8 = (rng.normal(30, 18, 2 * n) + 128 + 7).clip(0, 255).astype(
+        np.uint8)
+    f_in = tmp_path / "rtl.bin"
+    f_in.write_bytes(raw_u8.tobytes())
+    fc, fs = 0.62e6, 2.8e6
+    native.convert_iq_to_1bit(str(f_in), str(tmp_path / "n.bin"),
+                              is_signed=False, fc_over_fs=fc / fs)
+    y = loaders.load_uint8_iq(str(f_in))
+    want = loaders.pack_1bit(loaders.iq_to_real_1bit(y, fc, fs))
+    got = (tmp_path / "n.bin").read_bytes()
+    g = np.frombuffer(got, np.uint8)
+    w = np.frombuffer(want, np.uint8)
+    mismatch = np.unpackbits(g ^ w).sum() / n
+    assert mismatch < 1e-4, mismatch  # trig rounding only
+
+    # HackRF style int8 pairs, via the loaders entry point (native path)
+    raw_i8 = rng.normal(0, 25, 2 * n).clip(-127, 127).astype(np.int8)
+    f_in2 = tmp_path / "hackrf.bin"
+    f_in2.write_bytes(raw_i8.tobytes())
+    loaders.convert_hackrf_to_1bit(str(f_in2), str(tmp_path / "h.bin"),
+                                   fc=2.6e6, fs=10e6)
+    y2 = loaders.load_int8_iq(str(f_in2))
+    want2 = loaders.pack_1bit(loaders.iq_to_real_1bit(y2, 2.6e6, 10e6))
+    g2 = np.frombuffer((tmp_path / "h.bin").read_bytes(), np.uint8)
+    w2 = np.frombuffer(want2, np.uint8)
+    mismatch2 = np.unpackbits(g2 ^ w2).sum() / n
+    assert mismatch2 < 1e-4, mismatch2
+
+    # mix=False branch (tuned-offset capture): bit-exact
+    loaders.convert_rtlsdr_to_1bit(str(f_in), str(tmp_path / "r.bin"),
+                                   mix=False)
+    want3 = loaders.pack_1bit(loaders.real_to_1bit(np.real(y)))
+    assert (tmp_path / "r.bin").read_bytes() == bytes(want3)

@@ -190,7 +190,18 @@ def convert_rtlsdr_to_1bit(in_path: str, out_path: str, fc: float = 0.62e6,
 
     ``mix=False`` reproduces the 1574.8 MHz-tuned branch (take real part
     directly, the 620 kHz offset already present from tuning offset).
+    Streams file-to-file through the native converter when the toolchain
+    is available (bounded memory for arbitrarily long captures).
     """
+    try:
+        from . import native
+        native.convert_iq_to_1bit(in_path, out_path, is_signed=False,
+                                  mix=mix, fc_over_fs=fc / fs)
+        return
+    except OSError:
+        raise
+    except Exception:
+        pass  # no toolchain: numpy fallback below
     y = load_uint8_iq(in_path)
     bits = iq_to_real_1bit(y, fc, fs) if mix else real_to_1bit(np.real(y))
     with open(out_path, "wb") as f:
@@ -199,7 +210,19 @@ def convert_rtlsdr_to_1bit(in_path: str, out_path: str, fc: float = 0.62e6,
 
 def convert_hackrf_to_1bit(in_path: str, out_path: str, fc: float = 2.6e6,
                            fs: float = 10e6) -> None:
-    """HackRF int8 I/Q capture -> 1-bit IF file (proc_hackrf_bin_for_gps.m)."""
+    """HackRF int8 I/Q capture -> 1-bit IF file (proc_hackrf_bin_for_gps.m).
+
+    Streams file-to-file through the native converter when available.
+    """
+    try:
+        from . import native
+        native.convert_iq_to_1bit(in_path, out_path, is_signed=True,
+                                  mix=True, fc_over_fs=fc / fs)
+        return
+    except OSError:
+        raise
+    except Exception:
+        pass  # no toolchain: numpy fallback below
     y = load_int8_iq(in_path)
     bits = iq_to_real_1bit(y, fc, fs)
     with open(out_path, "wb") as f:

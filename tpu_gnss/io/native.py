@@ -124,3 +124,25 @@ def convert_1bit_to_iq8(in_path: str, out_path: str, gain: int = 100) -> int:
     if n < 0:
         raise OSError(f"conversion failed: {in_path} -> {out_path}")
     return int(n)
+
+
+def convert_iq_to_1bit(in_path: str, out_path: str, *, is_signed: bool,
+                       remove_dc: bool = True, mix: bool = True,
+                       fc_over_fs: float = 0.0) -> int:
+    """Native streamed interleaved-I/Q -> 1-bit IF capture conversion.
+
+    Two file passes (DC estimate + convert) in bounded memory; returns
+    sample count.  ``is_signed``: int8 pairs (HackRF) vs uint8-128
+    (rtl-sdr).
+    """
+    lib = _load()
+    lib.sdrio_convert_iq_to_1bit.argtypes = [
+        ctypes.c_char_p, ctypes.c_char_p, ctypes.c_int, ctypes.c_int,
+        ctypes.c_int, ctypes.c_double]
+    lib.sdrio_convert_iq_to_1bit.restype = ctypes.c_int64
+    n = lib.sdrio_convert_iq_to_1bit(
+        in_path.encode(), out_path.encode(), int(is_signed),
+        int(remove_dc), int(mix), float(fc_over_fs))
+    if n < 0:
+        raise OSError(f"conversion failed: {in_path} -> {out_path}")
+    return int(n)

@@ -155,4 +155,104 @@ int64_t sdrio_convert_1bit_to_iq8(const char* in_path, const char* out_path,
     return total;
 }
 
+// Streamed SDR capture -> 1-bit IF file conversion: the native analog of
+// the MATLAB ingest scripts (reference: proc_rtl_bin_for_gps.m,
+// proc_hackrf_bin_for_gps.m): center the interleaved I/Q rails, remove
+// the capture-wide DC offset (two passes over the file, bounded memory),
+// optionally digitally up-mix by e^{+j2πfc n/fs}, take the real part,
+// hard-limit (negative -> bit 1) and pack LSB-first.
+//
+//   is_signed : 1 = int8 pairs (HackRF), 0 = uint8 pairs - 128 (rtl-sdr)
+//   remove_dc : 1 = subtract the file-wide I/Q means (first pass)
+//   mix       : 1 = multiply by e^{+j2π fc_over_fs n} before Re{}
+// Returns samples written, or -1 on I/O error.
+#include <cmath>
+
+int64_t sdrio_convert_iq_to_1bit(const char* in_path, const char* out_path,
+                                 int is_signed, int remove_dc, int mix,
+                                 double fc_over_fs) {
+    const int64_t BLOCK = 1 << 20;  // bytes per read (524288 I/Q pairs)
+    static uint8_t inbuf[1 << 20];
+    static uint8_t outbuf[(1 << 20) / 16 + 1];
+    const double center = is_signed ? 0.0 : 128.0;
+
+    double mean_i = 0.0, mean_q = 0.0;
+    if (remove_dc) {
+        FILE* f = std::fopen(in_path, "rb");
+        if (!f) return -1;
+        double sum_i = 0.0, sum_q = 0.0;
+        int64_t n_pairs = 0;
+        for (;;) {
+            size_t nb = std::fread(inbuf, 1, BLOCK, f);
+            if (nb < 2) break;
+            size_t pairs = nb / 2;
+            for (size_t i = 0; i < pairs; i++) {
+                double vi = is_signed ? (double)(int8_t)inbuf[2 * i]
+                                      : (double)inbuf[2 * i] - center;
+                double vq = is_signed ? (double)(int8_t)inbuf[2 * i + 1]
+                                      : (double)inbuf[2 * i + 1] - center;
+                sum_i += vi;
+                sum_q += vq;
+            }
+            n_pairs += (int64_t)pairs;
+            if (nb < (size_t)BLOCK) break;
+        }
+        std::fclose(f);
+        if (n_pairs) { mean_i = sum_i / n_pairs; mean_q = sum_q / n_pairs; }
+    }
+
+    FILE* fin = std::fopen(in_path, "rb");
+    if (!fin) return -1;
+    FILE* fout = std::fopen(out_path, "wb");
+    if (!fout) { std::fclose(fin); return -1; }
+
+    const double two_pi = 6.283185307179586476925286766559;
+    double theta = 0.0;
+    const double dtheta = two_pi * fc_over_fs;
+    int64_t total = 0;
+    int bitpos = 0;
+    int acc = 0;
+    for (;;) {
+        size_t nb = std::fread(inbuf, 1, BLOCK, fin);
+        if (nb < 2) break;
+        size_t pairs = nb / 2;
+        int64_t m = 0;
+        for (size_t i = 0; i < pairs; i++) {
+            double vi = (is_signed ? (double)(int8_t)inbuf[2 * i]
+                                   : (double)inbuf[2 * i] - center) - mean_i;
+            double v;
+            if (mix) {
+                double vq = (is_signed ? (double)(int8_t)inbuf[2 * i + 1]
+                                       : (double)inbuf[2 * i + 1] - center)
+                            - mean_q;
+                v = vi * std::cos(theta) - vq * std::sin(theta);
+                theta += dtheta;
+                if (theta >= two_pi) theta -= two_pi;
+            } else {
+                v = vi;
+            }
+            acc |= (v < 0.0) << bitpos;
+            if (++bitpos == 8) {
+                outbuf[m++] = (uint8_t)acc;
+                acc = 0;
+                bitpos = 0;
+            }
+            total++;
+        }
+        if (m && std::fwrite(outbuf, 1, (size_t)m, fout) != (size_t)m) {
+            std::fclose(fin); std::fclose(fout); return -1;
+        }
+        if (nb < (size_t)BLOCK) break;
+    }
+    if (bitpos) {
+        uint8_t last = (uint8_t)acc;
+        if (std::fwrite(&last, 1, 1, fout) != 1) {
+            std::fclose(fin); std::fclose(fout); return -1;
+        }
+    }
+    std::fclose(fin);
+    std::fclose(fout);
+    return total;
+}
+
 }  // extern "C"
