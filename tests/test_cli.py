@@ -72,3 +72,28 @@ def test_folded_mode_runs(synth_fixture_path):
     sat_row = [l for l in out.splitlines()
                if l.startswith(" 0 satellite:")][0]
     assert " 7 " in sat_row
+
+
+def test_convert_cli_roundtrip(tmp_path, synth_fixture_path):
+    """convert CLI: 1bit -> iq8 -> (hackrf) 1bit round trip detects PRN 8."""
+    from tpu_gnss.cli.convert import main as cmain
+    iq8 = tmp_path / "tx.bin"
+    back = tmp_path / "back.bin"
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        assert cmain(["1bit-to-iq8", synth_fixture_path, str(iq8),
+                      "--fs", "8184000"]) == 0
+        assert cmain(["hackrf-to-1bit", str(iq8), str(back),
+                      "--fc", "2046000", "--fs", "8184000"]) == 0
+    assert "wrote" in buf.getvalue()
+    from tpu_gnss.config import ReceiverConfig
+    from tpu_gnss.io import loaders
+    from tpu_gnss.acquire.search import Searcher
+    cfg = ReceiverConfig(fs=8.184e6, fc=2.046e6, max_fo=5000.0)
+    bits = loaders.load_1bit(str(back), count=cfg.fft_len)
+    s = Searcher(cfg)
+    dets = s.detections(s.acquire_bits(bits))
+    assert any(d["prn"] == 8 for d in dets)
+    # missing input -> clean error
+    assert cmain(["wav-to-1bit", str(tmp_path / "nope.wav"),
+                  str(tmp_path / "x.bin")]) == 2
