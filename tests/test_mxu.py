@@ -90,3 +90,21 @@ def test_mxu_engine_noncoherent_matches_xla():
         float(np.asarray(res_x.doppler_hz)[i])
     np.testing.assert_allclose(np.asarray(res_m.snr)[i],
                                np.asarray(res_x.snr)[i], rtol=0.02)
+
+
+def test_detections_refined_fast_matches_grid_refine():
+    """MXU detect + window refine == full-grid refine on the same scene."""
+    cfg = ReceiverConfig(fs=1.024e6, fc=0.256e6, max_fo=5000.0,
+                         fft_len=4096)
+    s = F.FoldedSearcher(cfg, n_coherent=4, dop_chunk=8)
+    svs = [synth.SvSignal(prn=7, doppler_hz=1840.0,
+                          code_phase_chips=303.4)]
+    iq = synth.synth_baseband(svs, cfg.fs, s.block_len, noise_std=0.4,
+                              seed=7)
+    want = s.detections_refined(s.power_grid(iq=iq))
+    got = s.detections_refined_fast(iq=iq)
+    assert [d["prn"] for d in got] == [d["prn"] for d in want] == [7]
+    w, g = want[0], got[0]
+    assert abs(g["doppler_hz"] - w["doppler_hz"]) < 1.0
+    assert abs(g["ca_shift"] - w["ca_shift"]) < 0.05
+    np.testing.assert_allclose(g["snr"], w["snr"], rtol=1e-4)

@@ -552,6 +552,47 @@ class FoldedSearcher:
                               dop_chunk=self.dop_chunk,
                               from_bits=from_bits, period=self.period)
 
+    def detections_refined_fast(self, bits=None, iq=None) -> list[dict]:
+        """MXU detection + exact narrow-window refinement.
+
+        The fused kernel (engine="mxu") finds per-SV bests without ever
+        materializing the power grid; a second, tiny XLA grid pass over
+        ±2 Doppler bins around each detection then provides the 3x3
+        neighborhood for the same parabolic refinement as
+        :meth:`detections_refined`.  Grid compute drops from the full
+        n_dop sweep to 5 bins per detection.
+        """
+        samples, from_bits = self._prep(bits, iq, 1)
+        res = self.acquire(bits=samples if from_bits else None,
+                           iq=None if from_bits else samples,
+                           engine="mxu")
+        dets = self.detections(res)
+        if not dets:
+            return []
+        step = (float(self.dops_hz[1] - self.dops_hz[0])
+                if len(self.dops_hz) > 1 else self.cfg.dop_bin_hz)
+        centers = np.asarray([d["doppler_hz"] for d in dets], np.float64)
+        offs = np.arange(-2, 3, dtype=np.float64) * step
+        window = np.unique((centers[:, None] + offs[None, :]).ravel())
+        pwr = np.asarray(_power_grid_jit(
+            samples, self.code_ffts_p,
+            jnp.asarray(window.astype(np.float32)),
+            fs=self.cfg.fs, lo_rate=self.cfg.lo_rate,
+            n_coherent=self.n_coherent,
+            dop_chunk=min(self.dop_chunk, len(window)),
+            from_bits=from_bits, period=self.period))
+        out = []
+        for d in dets:
+            i = int(np.argmin(np.abs(window - d["doppler_hz"])))
+            sl = slice(max(i - 2, 0), i + 3)
+            ref = refine_peak(pwr[:, sl, :], window[sl], d["sv"])
+            out.append(dict(prn=d["prn"], sv=d["sv"], snr=ref["snr"],
+                            doppler_hz=ref["doppler_hz"],
+                            ca_shift=ref["ca_shift"],
+                            lo_shift=int(round(ref["doppler_hz"]
+                                               / self.cfg.dop_bin_hz))))
+        return out
+
     def detections_refined(self, pwr) -> list[dict]:
         """Threshold + sub-bin refine straight from a power grid.
 

@@ -84,7 +84,8 @@ class Receiver:
                  epochs_per_step: int = 1,
                  reacq_interval_s: float = 5.0,
                  fft_correlator: bool = True,
-                 agc_thresholds: Optional[tuple] = None):
+                 agc_thresholds: Optional[tuple] = None,
+                 acq_engine: str = "auto"):
         self.cfg = cfg
         self.searcher = FoldedSearcher(cfg, n_coherent=n_coherent)
         t_s = epochs_per_step * 1e-3
@@ -101,6 +102,22 @@ class Receiver:
         # tuple() because it becomes a hashable jit-static argument.
         self.agc_thresholds = (tuple(agc_thresholds)
                                if agc_thresholds is not None else None)
+        # cold-start acquisition engine: "mxu" = fused kernel detection
+        # + narrow-window refinement (no full power grid); "xla" = grid
+        # + refine; "auto" picks mxu on TPU when the transform factors
+        self.acq_engine = acq_engine
+
+    def _cold_detections(self, iq_head) -> list:
+        """Refined detections for channel seeding, engine-dispatched."""
+        engine = self.acq_engine
+        if engine == "auto":
+            import jax
+            engine = ("mxu" if jax.devices()[0].platform in ("tpu", "axon")
+                      and self.searcher.mxu_supported() else "xla")
+        if engine == "mxu":
+            return self.searcher.detections_refined_fast(iq=iq_head)
+        pwr = self.searcher.power_grid(iq=iq_head)
+        return self.searcher.detections_refined(pwr)
 
     # ------------------------------------------------------------------
     def process_iq(self, iq: np.ndarray, max_channels: Optional[int] = None,
@@ -117,9 +134,9 @@ class Receiver:
             "chunk_s must cover whole tracking steps"
 
         # --- 1. acquisition on the first coherent block ----------------
-        pwr = self.searcher.power_grid(iq=np.asarray(iq[: self.searcher.block_len]))
-        dets = sorted(self.searcher.detections_refined(pwr),
-                      key=lambda d: -d["snr"])[:max_channels]
+        dets = sorted(
+            self._cold_detections(np.asarray(iq[: self.searcher.block_len])),
+            key=lambda d: -d["snr"])[:max_channels]
 
         # --- 2. channel bank allocation --------------------------------
         n_chan = max(len(dets), 1)
@@ -230,8 +247,7 @@ class Receiver:
             free = [ch for ch in range(n_chan) if ch not in live]
             if not free:
                 return []
-            pwr = self.searcher.power_grid(iq=blk_head)
-            dets = sorted(self.searcher.detections_refined(pwr),
+            dets = sorted(self._cold_detections(blk_head),
                           key=lambda d: -d["snr"])
             tracked = {r.prn for r in live.values()}
             started = []
