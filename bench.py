@@ -100,7 +100,7 @@ def _run_with_retries() -> int:
         try:
             out = subprocess.run(
                 [sys.executable, "-u", __file__, "--inner"],
-                capture_output=True, text=True, timeout=150)
+                capture_output=True, text=True, timeout=280)
             for line in out.stdout.splitlines():
                 if line.startswith("{"):
                     print(line)
