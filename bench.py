@@ -45,7 +45,10 @@ def main() -> int:
 
     searcher = F.FoldedSearcher(cfg, n_coherent=4)
     rng = np.random.default_rng(0)
-    n_blocks = 8
+    # Big batch + many chained reps: the tunneled backend costs ~25 ms
+    # per host fetch round-trip regardless of work, so the measurement
+    # amortizes it over reps*n_blocks blocks of real device compute.
+    n_blocks = 64
 
     bits_blocks = jnp.asarray(
         rng.integers(0, 2, (n_blocks, searcher.block_len), dtype=np.uint8))
@@ -68,7 +71,7 @@ def main() -> int:
                       searcher.dops_hz)
     _ = np.asarray(out)  # force compile + first execution
 
-    reps = 6
+    reps = 10
     t0 = time.perf_counter()
     for _ in range(reps):
         carry, out = step(bits_blocks, carry, cw_r, cw_i,

@@ -48,6 +48,65 @@ def test_corr_reduce_matches_numpy():
                                rtol=0.02)
 
 
+def test_fold_corr_reduce_matches_numpy():
+    """Fused forward-DFT + product + inverse + reduce vs np.fft oracle."""
+    rng = np.random.default_rng(2)
+    nf, period, n_sv, rows = 1024, 1000, 4, 5
+    n1, n2 = mxu_corr.split_nf(nf)
+    u_rows = mxu_corr.fused_tables(nf, period)[0]
+    x = (rng.standard_normal((rows, period))
+         + 1j * rng.standard_normal((rows, period)))
+    code = (rng.standard_normal((n_sv, nf))
+            + 1j * rng.standard_normal((n_sv, nf)))
+    # oracle: circular correlation recovered from the padded linear one
+    # (the kernel folds the equivalent wrap factor into the code spectra)
+    g = np.fft.fft(x, n=nf, axis=-1)
+    lin = np.fft.ifft(code[None] * np.conj(g)[:, None, :], axis=-1)
+    circ = (lin[..., :period] + lin[..., nf - period:]
+            if nf != period else lin[..., :period])
+    pw = np.abs(circ) ** 2
+    cw_r, cw_i = mxu_corr.fold_code_planes_T(code, period)
+    xp = np.pad(x, ((0, 0), (0, u_rows * n1 - period)))
+    x_r = jnp.asarray(xp.real.astype(np.float32).reshape(rows, u_rows, n1))
+    x_i = jnp.asarray(xp.imag.astype(np.float32).reshape(rows, u_rows, n1))
+    peak, lag, tot = mxu_corr.fold_corr_reduce(
+        x_r, x_i, jnp.asarray(cw_r), jnp.asarray(cw_i), period=period,
+        nf=nf, interpret=True)
+    assert (np.asarray(lag) == pw.argmax(-1)).all()
+    np.testing.assert_allclose(np.asarray(peak) / nf ** 2, pw.max(-1),
+                               rtol=0.03)
+    np.testing.assert_allclose(np.asarray(tot) / nf ** 2, pw.sum(-1),
+                               rtol=0.03)
+
+
+def test_fold_corr_reduce_noncoherent():
+    """n_acc axis sums |corr|^2 across blocks before the peak search."""
+    rng = np.random.default_rng(5)
+    nf = period = 1024
+    n_sv, rows, n_acc = 2, 3, 2
+    n1, _ = mxu_corr.split_nf(nf)
+    u_rows = mxu_corr.fused_tables(nf, period)[0]
+    x = (rng.standard_normal((rows, n_acc, period))
+         + 1j * rng.standard_normal((rows, n_acc, period)))
+    code = (rng.standard_normal((n_sv, nf))
+            + 1j * rng.standard_normal((n_sv, nf)))
+    g = np.fft.fft(x, axis=-1)
+    circ = np.fft.ifft(code[None, None] * np.conj(g)[:, :, None, :],
+                       axis=-1)
+    pw = (np.abs(circ) ** 2).sum(axis=1)          # [rows, n_sv, period]
+    cw_r, cw_i = mxu_corr.fold_code_planes_T(code, period)
+    x_r = jnp.asarray(x.real.astype(np.float32).reshape(
+        rows, n_acc, u_rows, n1))
+    x_i = jnp.asarray(x.imag.astype(np.float32).reshape(
+        rows, n_acc, u_rows, n1))
+    peak, lag, tot = mxu_corr.fold_corr_reduce(
+        x_r, x_i, jnp.asarray(cw_r), jnp.asarray(cw_i), period=period,
+        nf=nf, interpret=True)
+    assert (np.asarray(lag) == pw.argmax(-1)).all()
+    np.testing.assert_allclose(np.asarray(peak) / nf ** 2, pw.max(-1),
+                               rtol=0.03)
+
+
 def test_mxu_engine_matches_xla_decisions():
     """Same PRN/doppler/ca_shift as the XLA engine on a synthetic scene."""
     cfg = ReceiverConfig(fs=1.024e6, fc=0.256e6, max_fo=5000.0,

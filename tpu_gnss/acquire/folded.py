@@ -107,9 +107,9 @@ def fold_power_grid(iq: jnp.ndarray, code_ffts_p: jnp.ndarray,
     return pwr[0]
 
 
-def _fold_fft_maker(iq_blocks: jnp.ndarray, *, fs: float, n_coherent: int,
-                    period: int, nf: int, dop_chunk: int):
-    """Shared wipe/fold/FFT prologue of both folded engines.
+def _fold_maker(iq_blocks: jnp.ndarray, *, fs: float, n_coherent: int,
+                period: int, dop_chunk: int):
+    """Shared wipe-off/fold prologue of the folded engines.
 
     Exact wipe-off + fold as one small matmul: phase is additive over
     periods, ``e^(-j2πf(cP+m)/fs) = E[f,c] * e_m[f,m]``, so
@@ -118,8 +118,8 @@ def _fold_fft_maker(iq_blocks: jnp.ndarray, *, fs: float, n_coherent: int,
     [chunk, n] mixed array per Doppler.  ``e_m`` itself is built from
     K + P/K trig evaluations via the same phase split.
 
-    Returns ``fold_fft(dop_c [chunk]) -> f [B, chunk, NF]``, the spectra
-    of the wiped+folded blocks.
+    Returns ``fold(dop_c [chunk]) -> x [B, chunk, P]``, the wiped+folded
+    time-domain blocks.
     """
     b = iq_blocks.shape[0]
     n = n_coherent * period
@@ -130,7 +130,7 @@ def _fold_fft_maker(iq_blocks: jnp.ndarray, *, fs: float, n_coherent: int,
     i_t = jnp.arange(K, dtype=jnp.float32) / jnp.float32(fs)
     j_t = jnp.arange(njp, dtype=jnp.float32) * (K / fs)
 
-    def fold_fft(dop_c):
+    def fold(dop_c):
         ph_c = -2.0 * jnp.pi * dop_c[:, None] * c_t[None, :]
         e_c = jax.lax.complex(jnp.cos(ph_c), jnp.sin(ph_c))  # [chunk, NC]
         ph_a = -2.0 * jnp.pi * dop_c[:, None] * i_t[None, :]
@@ -140,9 +140,17 @@ def _fold_fft_maker(iq_blocks: jnp.ndarray, *, fs: float, n_coherent: int,
         e_m = (bb[:, :, None] * aa[:, None, :]).reshape(
             dop_chunk, njp * K)[:, :period]                  # [chunk, P]
         base = jnp.einsum("dc,bcm->bdm", e_c, iqp)           # [B, chunk, P]
-        return jnp.fft.fft(e_m[None, :, :] * base, n=nf, axis=-1)
+        return e_m[None, :, :] * base
 
-    return fold_fft
+    return fold
+
+
+def _fold_fft_maker(iq_blocks: jnp.ndarray, *, fs: float, n_coherent: int,
+                    period: int, nf: int, dop_chunk: int):
+    """Wipe/fold prologue + forward FFT (the XLA engine's spectra)."""
+    fold = _fold_maker(iq_blocks, fs=fs, n_coherent=n_coherent,
+                       period=period, dop_chunk=dop_chunk)
+    return lambda dop_c: jnp.fft.fft(fold(dop_c), n=nf, axis=-1)
 
 
 @functools.partial(jax.jit,
@@ -192,40 +200,41 @@ def _corr_reduce_grid_mxu(iq_blocks: jnp.ndarray, cw_r: jnp.ndarray,
                           fs: float, n_coherent: int, dop_chunk: int,
                           period: int, nf: int, interpret: bool = False,
                           accumulate: bool = False):
-    """Wipe/fold/FFT (XLA) + fused MXU correlate-reduce per Doppler chunk.
+    """Wipe/fold (XLA) + fully-fused MXU DFT-correlate-reduce per chunk.
 
     Returns ``(peak, lag, tot)`` each ``[B, n_sv, n_dop_padded]`` — the
     reduced statistics of the power grid without ever materializing it.
+    The forward transform runs inside the kernel (tpu_gnss.ops.mxu_corr.
+    fold_corr_reduce), so no XLA FFT call appears anywhere on this path.
     With ``accumulate=True`` the B axis is summed non-coherently inside
     the kernel (|corr|² of the B blocks added per Doppler before the
     peak search) and the leading output axis is 1.
     """
-    from ..ops.mxu_corr import corr_reduce, split_nf
+    from ..ops.mxu_corr import fold_corr_reduce, fused_tables, split_nf
     n1, n2 = split_nf(nf)
+    u_rows = fused_tables(nf, period)[0]
     b = iq_blocks.shape[0]
     n_dop = dops_hz.shape[0]
     pad = (-n_dop) % dop_chunk
     dops_p = jnp.concatenate([dops_hz, jnp.zeros(pad, dops_hz.dtype)])
     chunks = dops_p.reshape(-1, dop_chunk)
-    fold_fft = _fold_fft_maker(iq_blocks, fs=fs, n_coherent=n_coherent,
-                               period=period, nf=nf, dop_chunk=dop_chunk)
+    fold = _fold_maker(iq_blocks, fs=fs, n_coherent=n_coherent,
+                       period=period, dop_chunk=dop_chunk)
 
     def per_chunk(dop_c):
-        f = fold_fft(dop_c)                           # [B, chunk, NF]
+        x = fold(dop_c)                               # [B, chunk, P]
+        x = jnp.pad(x, ((0, 0), (0, 0), (0, u_rows * n1 - period)))
         if accumulate:
             # rows = Doppler bins; the block axis sums in the kernel
-            g_r = jnp.real(f).transpose(1, 0, 2).reshape(
-                dop_chunk, b, n1, n2)
-            g_i = (-jnp.imag(f)).transpose(1, 0, 2).reshape(
-                dop_chunk, b, n1, n2)
+            to_rows = lambda a: a.transpose(1, 0, 2).reshape(
+                dop_chunk, b, u_rows, n1)
             shp = (1, dop_chunk, -1)
         else:
-            rows = b * dop_chunk
-            g_r = jnp.real(f).reshape(rows, n1, n2)
-            g_i = (-jnp.imag(f)).reshape(rows, n1, n2)    # conj(f)
+            to_rows = lambda a: a.reshape(b * dop_chunk, u_rows, n1)
             shp = (b, dop_chunk, -1)
-        pk, lg, tt = corr_reduce(g_r, g_i, cw_r, cw_i, period=period,
-                                 interpret=interpret)
+        pk, lg, tt = fold_corr_reduce(
+            to_rows(jnp.real(x)), to_rows(jnp.imag(x)), cw_r, cw_i,
+            period=period, nf=nf, interpret=interpret)
         return pk.reshape(shp), lg.reshape(shp), tt.reshape(shp)
 
     pk, lg, tt = jax.lax.map(per_chunk, chunks)  # [n_chunk, B', chunk, sv]
@@ -250,8 +259,10 @@ def acquire_folded_batch_mxu(samples: jnp.ndarray, cw_r: jnp.ndarray,
     """Batched folded acquisition through the fused MXU kernel.
 
     Same decisions as :func:`acquire_folded_batch` (peak powers within
-    bf16 rounding, ~0.3%); the [sv, dop, P] power grid never touches HBM.
-    ``cw_r/cw_i`` come from ``tpu_gnss.ops.mxu_corr.wrap_code_planes``.
+    bf16 rounding, ~0.3%); neither spectra nor the [sv, dop, P] power
+    grid ever touch HBM — the forward DFT, spectrum product, inverse
+    DFT and peak reduction all run inside one Pallas kernel.
+    ``cw_r/cw_i`` come from ``tpu_gnss.ops.mxu_corr.fold_code_planes_T``.
     ``accumulate=True`` treats the batch axis as successive blocks of
     one capture and sums their power non-coherently in the kernel
     (weak-signal mode); the result batch axis is then 1.
@@ -507,16 +518,18 @@ class FoldedSearcher:
             return False
 
     def mxu_code_planes(self):
-        """bf16 code-spectrum planes (wrap factor folded in), cached.
+        """bf16 code-spectrum planes for the fused kernel, cached.
 
-        Computed from the host-side replicas (complex device arrays
-        cannot cross the host boundary on some backends).
+        Stacked-transposed layout (wrap factor folded in) from
+        ``tpu_gnss.ops.mxu_corr.fold_code_planes_T``; computed from the
+        host-side replicas (complex device arrays cannot cross the host
+        boundary on some backends).
         """
         if not hasattr(self, "_cw_planes"):
-            from ..ops.mxu_corr import wrap_code_planes
+            from ..ops.mxu_corr import fold_code_planes_T
             reps = period_replicas_np(self.cfg.fs, self.cfg.prns)
             spec = np.fft.fft(reps, n=self.nf, axis=-1)
-            cr, ci = wrap_code_planes(spec, self.period)
+            cr, ci = fold_code_planes_T(spec, self.period)
             self._cw_planes = (jnp.asarray(cr), jnp.asarray(ci))
         return self._cw_planes
 
