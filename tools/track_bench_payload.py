@@ -28,7 +28,7 @@ for label, cf in (("fftdot", spec), ("gather", None)):
         st, out = tc.track_epochs(iq_d, state0, tables, fs=FS, pll_gains=g1,
                                   dll_gains=g2, epochs_per_step=E, code_ffts=cf)
         _ = np.asarray(out.ip[-1])  # compile + settle
-        t0=time.perf_counter(); iters=4
+        t0=time.perf_counter(); iters=10  # 10 s per fetch: amortize ~25 ms tunnel RTT
         for i in range(iters):
             st, out = tc.track_epochs(iq_d, st, tables, fs=FS, pll_gains=g1,
                                       dll_gains=g2, epochs_per_step=E, code_ffts=cf)

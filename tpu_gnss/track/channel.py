@@ -170,11 +170,26 @@ def track_epochs(samples: jnp.ndarray, state: ChannelState,
 
     e_steps = jnp.arange(e_sub, dtype=jnp.float32)[None, :] * p
 
+    # factored carrier-wipe phasor: sample index n = K*b + a splits the
+    # linear phase into two short trig tables per channel (K + len/K
+    # evaluations instead of e_sub*P — transcendentals dominate the VPU
+    # otherwise), matching the acquisition prologue's e_m trick
+    wipe_k = 256
+    wipe_nb = -(-step_len // wipe_k)
+    wipe_a = jnp.arange(wipe_k, dtype=jnp.float32)
+    wipe_b = jnp.arange(wipe_nb, dtype=jnp.float32) * wipe_k
+
     def epoch(st: ChannelState, blk: jnp.ndarray):
-        ph = (st.carrier_phase[:, None, None]
-              + (st.carrier_freq / fs)[:, None, None] * n[None, :, :])
-        ang = (-two_pi) * ph
-        wiped = blk[None, :, :] * jax.lax.complex(jnp.cos(ang), jnp.sin(ang))
+        delta = (st.carrier_freq / fs)[:, None]       # cycles/sample
+        pha = (-two_pi) * ((delta * wipe_a[None, :]) % 1.0)
+        phb = (-two_pi) * ((st.carrier_phase[:, None]
+                            + delta * wipe_b[None, :]) % 1.0)
+        ea = jax.lax.complex(jnp.cos(pha), jnp.sin(pha))   # [n_chan, K]
+        eb = jax.lax.complex(jnp.cos(phb), jnp.sin(phb))   # [n_chan, nb]
+        lo = (eb[:, :, None] * ea[:, None, :]).reshape(
+            -1, wipe_nb * wipe_k)[:, :step_len]
+        wiped = (blk.reshape(-1)[None, :] * lo).reshape(
+            lo.shape[0], e_sub, p)
 
         if code_ffts is not None:
             # --- FFT-dot correlators: gather-free ------------------------
@@ -182,17 +197,55 @@ def track_epochs(samples: jnp.ndarray, state: ChannelState,
             # code_spectra() (conj code FFT with the circular wrap folded
             # in).  Taps at fractional sample lags — no per-sample code
             # gather, which costs ~10x everything else on TPU.
+            # The forward transform runs as the four-step DFT factored
+            # into two complex einsum matmuls on the MXU (trimmed to the
+            # zero-padded block's nonzero rows): jnp.fft.fft is an
+            # unfused custom call with ~0.3 ms fixed cost per invocation
+            # on this backend — 50 scan steps/s made it the dominant
+            # tracking cost.
             nf = code_ffts.shape[-1]
-            f_w = jnp.fft.fft(wiped, n=nf, axis=-1)   # [n_chan, e_sub, NF]
+            n1f, n2f, u_rf, f2c, wtc, f1c = _dft_tables_np(nf, p)
+            cplx = lambda a: jax.lax.complex(jnp.asarray(a.real),
+                                             jnp.asarray(a.imag))
+            y = jnp.pad(wiped, ((0, 0), (0, 0), (0, u_rf * n1f - p))
+                        ).reshape(wiped.shape[0], e_sub, u_rf, n1f)
+            z = jnp.einsum("ku,ceuv->cekv", cplx(f2c), y)
+            g = jnp.einsum("cekv,vj->cekj", z * cplx(wtc)[None, None],
+                           cplx(f1c))
+            f_w = jnp.transpose(g, (0, 1, 3, 2)).reshape(
+                wiped.shape[0], e_sub, nf)            # [n_chan, e_sub, NF]
             prod = f_w * code_ffts[:, None, :]
             chips0 = (st.code_phase[:, None]
                       + (st.code_freq / fs)[:, None] * e_steps)
+            # one shared prompt ramp; early/late taps are the SAME ramp
+            # times a fixed vector t(±δ) (exact: ramp(τ+δ) = ramp(τ)·t(δ)
+            # with matching signed-frequency convention), with a per-row
+            # select between t(δ) and t(δ∓P) at code-period wraps.
+            scale = p / CODE_LEN_CHIPS
+            s0p = (chips0 % CODE_LEN_CHIPS) * scale
+            ramp = _frac_ramp(s0p.reshape(-1), nf).reshape(
+                s0p.shape[0], s0p.shape[1], nf)
+            w = prod * ramp
+            dsamp = corr_spacing * scale
+            te1, te2, tl1, tl2 = (
+                jax.lax.complex(jnp.asarray(t.real), jnp.asarray(t.imag))
+                for t in _tap_vectors_np(nf, dsamp, p))
+            s0e = ((chips0 + corr_spacing) % CODE_LEN_CHIPS) * scale
+            s0l = ((chips0 - corr_spacing) % CODE_LEN_CHIPS) * scale
+            wrap_e = (s0e < s0p)[:, :, None]
+            wrap_l = (s0l > s0p)[:, :, None]
+
+            taps = {0.0: None,
+                    corr_spacing: (wrap_e, te1, te2),
+                    -corr_spacing: (wrap_l, tl1, tl2)}
 
             def corr(offset):
-                s0 = ((chips0 + offset) % CODE_LEN_CHIPS) * (p / CODE_LEN_CHIPS)
-                ramp = _frac_ramp(s0.reshape(-1), nf).reshape(
-                    s0.shape[0], s0.shape[1], nf)
-                return (prod * ramp).sum(axis=-1) / nf
+                sel = taps[offset]
+                if sel is None:
+                    return w.sum(axis=-1) / nf
+                wrapped, t1, t2 = sel
+                tv = jnp.where(wrapped, t2[None, None, :], t1[None, None, :])
+                return (w * tv).sum(axis=-1) / nf
         else:
             # --- reference-style resampled-code correlators --------------
             chips_t = (st.code_phase[:, None, None]
@@ -307,6 +360,42 @@ def track_epochs(samples: jnp.ndarray, state: ChannelState,
     flat = jax.tree.map(
         lambda a: jnp.moveaxis(a, 2, 1).reshape(-1, a.shape[1]), outs)
     return final, flat
+
+
+@functools.lru_cache(maxsize=8)
+def _dft_tables_np(nf: int, period: int):
+    """Four-step forward-DFT tables (complex128->64 numpy, cached).
+
+    Index mapping as in tpu_gnss.ops.mxu_corr: spectrum k = k1*n2 + k2,
+    time n = n1*u + v; only u < ceil(period/n1) input rows are nonzero
+    for a period-length block zero-padded to NF.
+    """
+    from ..ops.mxu_corr import split_nf
+    n1, n2 = split_nf(nf)
+    u_rows = min(n2, -(-period // n1))
+    u = np.arange(u_rows)
+    v = np.arange(n1)
+    k1 = np.arange(n1)
+    k2 = np.arange(n2)
+    f2 = np.exp(-2j * np.pi * np.outer(k2, u) / n2).astype(np.complex64)
+    wt = np.exp(-2j * np.pi * np.outer(k2, v) / nf).astype(np.complex64)
+    f1 = np.exp(-2j * np.pi * np.outer(v, k1) / n1).astype(np.complex64)
+    return n1, n2, u_rows, f2, wt, f1
+
+
+@functools.lru_cache(maxsize=8)
+def _tap_vectors_np(nf: int, dsamp: float, period: int):
+    """Fixed early/late tap vectors ``t(d)[k] = e^{-j2πk_eff d/NF}``.
+
+    Signed frequencies (k_eff = k - NF for the upper half) match
+    :func:`_frac_ramp`.  Returns (t(+d), t(+d-P), t(-d), t(-d+P)) — the
+    second of each pair applies when the early/late lag wraps around the
+    code period relative to the prompt.
+    """
+    k = np.arange(nf)
+    keff = np.where(k >= nf // 2, k - nf, k)
+    t = lambda d: np.exp(-2j * np.pi * keff * (d / nf)).astype(np.complex64)
+    return t(dsamp), t(dsamp - period), t(-dsamp), t(-dsamp + period)
 
 
 def code_spectra_np(prns, n_chan: int, fs: float) -> np.ndarray:
