@@ -196,3 +196,41 @@ def test_fft_correlator_matches_gather():
     # and code phase tracks truth through the FFT path too
     err = _phase_err_chips(out_f, 0, sv, n_epochs)
     assert np.abs(err[-100:]).max() < 0.2
+
+
+def test_pallas_correlator_matches_einsum():
+    """Fused MXU correlator (interpret mode) == einsum FFT-dot path."""
+    import jax.numpy as jnp
+    n_epochs = 12
+    E = 4
+    svs = [synth.SvSignal(prn=7, doppler_hz=1234.0, code_phase_chips=500.25),
+           synth.SvSignal(prn=21, doppler_hz=-2100.0,
+                          code_phase_chips=12.75, amplitude=0.7)]
+    iq = synth.synth_baseband(svs, FS, n_epochs * 5456, noise_std=0.3,
+                              seed=4)
+    state = tc.init_state(2)
+    state = tc.start_channel(state, 0, 1234.0, 500.25)
+    state = tc.start_channel(state, 1, -2100.0, 12.75)
+    tables = jnp.asarray(tc.channel_code_tables([7, 21], 2))
+    spec, nf = tc.code_spectra([7, 21], 2, FS)
+    gains = (tc.second_order_gains(18.0, t_s=E * 1e-3),
+             tc.second_order_gains(2.0, t_s=E * 1e-3))
+    st_x, out_x = tc.track_epochs(jnp.asarray(iq), state, tables, fs=FS,
+                                  pll_gains=gains[0], dll_gains=gains[1],
+                                  epochs_per_step=E, code_ffts=spec,
+                                  use_pallas=False)
+    st_p, out_p = tc.track_epochs(jnp.asarray(iq), state, tables, fs=FS,
+                                  pll_gains=gains[0], dll_gains=gains[1],
+                                  epochs_per_step=E, code_ffts=spec,
+                                  use_pallas=True)
+    ref = np.abs(np.asarray(out_x.ip)).max()
+    np.testing.assert_allclose(np.asarray(out_p.ip), np.asarray(out_x.ip),
+                               atol=2e-3 * ref)
+    np.testing.assert_allclose(np.asarray(out_p.qp), np.asarray(out_x.qp),
+                               atol=2e-3 * ref)
+    np.testing.assert_allclose(np.asarray(out_p.e_mag),
+                               np.asarray(out_x.e_mag), atol=2e-3 * ref)
+    np.testing.assert_allclose(np.asarray(out_p.code_phase),
+                               np.asarray(out_x.code_phase), atol=1e-4)
+    np.testing.assert_allclose(np.asarray(st_p.carrier_freq),
+                               np.asarray(st_x.carrier_freq), atol=0.05)

@@ -1,0 +1,249 @@
+"""Fused MXU tracking correlator: wipe + DFT + E/P/L taps in one kernel.
+
+The XLA tracking correlator materializes ``[n_chan, e_sub, NF]``
+spectra, products and ramps in HBM each scan step; beyond ~12 channels
+the elementwise passes over those arrays become HBM-bandwidth-bound
+(measured 6x worse than linear scaling 12 -> 32 channels).  This kernel
+processes one epoch per grid step with the CHANNEL axis stacked along
+sublanes, so every transform stage is a single wide matmul (the same
+batching that makes tpu_gnss.ops.mxu_corr.fold_corr_reduce fast):
+
+1. carrier wipe-off: per-channel phasors from factored trig vectors,
+   expanded by one complex outer product in the transposed
+   ``[n_chan*n1, u_rows]`` input layout;
+2. forward four-step DFT as two wide MXU matmuls (one per-channel
+   block transpose between them), output ``G^T[c*k2, k1]``;
+3. product with the channels' conjugated, wrap-folded code spectra
+   (tpu_gnss.track.channel.code_spectra semantics);
+4. prompt fractional-lag ramps from per-channel factored trig;
+   early/late taps are fixed ``t(±δ)`` tables with per-channel
+   wrap-selects (exact: ramp(τ+δ) = ramp(τ)·t(δ), signed-frequency
+   convention);
+5. the three complex correlator sums per channel, written as six lanes.
+
+Channels are processed in groups of <=16 inside the kernel to bound
+VMEM.  Equivalent to the einsum FFT-dot path (tpu_gnss/track/channel.py)
+to float32 rounding; that path remains the CPU default.  Reference
+semantics: 1 ms integrate-and-dump E/P/L correlators of the FPGA channel
+design ("Homemade GPS Receiver.html":287-352).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .mxu_corr import split_nf
+
+_GROUP = 16
+
+
+@functools.lru_cache(maxsize=8)
+def track_tables(nf: int, period: int, dsamp: float) -> tuple:
+    """Constant tables: forward-DFT factors + early/late tap grids.
+
+    Forward tables are for the transposed chain
+    ``G^T = ((Y^T @ F2^T) ⊙ W^T)^T_block @ F1``; tap grids are in the
+    ``[k2, k1]`` layout of G^T with signed frequencies:
+    ``t(d)[k2, k1] = e^{-j2πk_eff d/NF}`` where ``k = k1*n2 + k2`` and
+    ``k_eff = k - NF`` for ``k >= NF/2``.
+    """
+    n1, n2 = split_nf(nf)
+    u_rows = min(n2, -(-period // n1))
+    u = np.arange(u_rows)
+    v = np.arange(n1)
+    k1 = np.arange(n1)
+    k2 = np.arange(n2)
+    f2t = np.exp(-2j * np.pi * np.outer(u, k2) / n2)   # [u, k2]
+    wtt = np.exp(-2j * np.pi * np.outer(v, k2) / nf)   # [v, k2]
+    f1 = np.exp(-2j * np.pi * np.outer(v, k1) / n1)    # [v, k1]
+    k = k1[None, :] * n2 + k2[:, None]                 # [k2, k1]
+    keff = np.where(k >= nf // 2, k - nf, k)
+    tap = lambda d: np.exp(-2j * np.pi * keff * (d / nf))
+    taps = (tap(dsamp), tap(dsamp - period),
+            tap(-dsamp), tap(-dsamp + period))
+    bf = lambda a: (a.real.astype(jnp.bfloat16), a.imag.astype(jnp.bfloat16))
+    f32 = lambda a: (a.real.astype(np.float32), a.imag.astype(np.float32))
+    return (u_rows, bf(f2t), f32(wtt), bf(f1), tuple(f32(t) for t in taps))
+
+
+def spec_planes(code_ffts: jnp.ndarray, nf: int, n_pad: int) -> tuple:
+    """Per-channel spectra -> ``[n_pad*n2, n1]`` bf16 planes (G^T layout,
+    row ``c*n2 + k2`` column ``k1`` = bin ``k1*n2 + k2`` of channel c);
+    channels padded to ``n_pad`` with zeros."""
+    n1, n2 = split_nf(nf)
+    n_chan = code_ffts.shape[0]
+    t = jnp.transpose(code_ffts.reshape(n_chan, n1, n2), (0, 2, 1))
+    st = t.reshape(n_chan * n2, n1)
+    st = jnp.pad(st, ((0, (n_pad - n_chan) * n2), (0, 0)))
+    return (jnp.real(st).astype(jnp.bfloat16),
+            jnp.imag(st).astype(jnp.bfloat16))
+
+
+def _kernel_factory(n_pad: int, n1: int, n2: int, u_rows: int, nf: int):
+    from jax.experimental import pallas as pl  # noqa: F401
+    n_grp = -(-n_pad // _GROUP)
+    g_sz = min(_GROUP, n_pad)
+
+    def kernel(blk_r_ref, blk_i_ref, par_ref, cw_r_ref, cw_i_ref,
+               f2r_ref, f2i_ref, wtr_ref, wti_ref, f1r_ref, f1i_ref,
+               ter_ref, tei_ref, tewr_ref, tewi_ref,
+               tlr_ref, tli_ref, tlwr_ref, tlwi_ref,
+               out_ref):
+        f32, bf16 = jnp.float32, jnp.bfloat16
+        two_pi = jnp.float32(2.0 * np.pi)
+
+        def mm(ar, ai, br, bi):
+            dot = lambda a, b: jnp.dot(a, b, preferred_element_type=f32)
+            return (dot(ar, br) - dot(ai, bi), dot(ar, bi) + dot(ai, br))
+
+        def outer_c(ar_, ai_, br_, bi_):
+            """complex outer product of [g, A] x [g, B] -> [g*A, B]."""
+            rr = (ar_[:, :, None] * br_[:, None, :]
+                  - ai_[:, :, None] * bi_[:, None, :])
+            ri = (ar_[:, :, None] * bi_[:, None, :]
+                  + ai_[:, :, None] * br_[:, None, :])
+            sh = (ar_.shape[0] * ar_.shape[1], br_.shape[1])
+            return rr.reshape(sh), ri.reshape(sh)
+
+        blk_tr = blk_r_ref[0]                  # [n1, u_rows]
+        blk_ti = blk_i_ref[0]
+        f2r, f2i = f2r_ref[:], f2i_ref[:]      # [u_rows, n2]
+        wtr, wti = wtr_ref[:], wti_ref[:]      # [n1, n2]
+        f1r, f1i = f1r_ref[:], f1i_ref[:]      # [n1, n1]
+        ui = jax.lax.broadcasted_iota(jnp.int32, (1, u_rows), 1).astype(f32)
+        vi = jax.lax.broadcasted_iota(jnp.int32, (1, n1), 1).astype(f32)
+        k1i = jax.lax.broadcasted_iota(jnp.int32, (1, n1), 1).astype(f32)
+        k2i = jax.lax.broadcasted_iota(jnp.int32, (1, n2), 1).astype(f32)
+        upper = k1i >= (n1 // 2)
+
+        tile = lambda a: jnp.broadcast_to(
+            a[None], (g_sz,) + a.shape).reshape(g_sz * a.shape[0],
+                                                a.shape[1])
+        wtr_t, wti_t = tile(wtr), tile(wti)
+
+        for g in range(n_grp):
+            par = par_ref[0, pl.ds(g * g_sz, g_sz)]    # [g_sz, 128]
+            phase0 = par[:, 0:1]
+            delta = par[:, 1:2]
+            tau = par[:, 2:3]
+            wrap_e = (par[:, 3:4] > 0.5)[:, :, None]   # [g_sz,1,1]
+            wrap_l = (par[:, 4:5] > 0.5)[:, :, None]
+
+            # --- carrier wipe, transposed layout Y^T[c*v, u] -----------
+            au = -two_pi * ((phase0 + delta * (ui * n1)) % 1.0)
+            av = -two_pi * ((delta * vi) % 1.0)
+            cu, su = jnp.cos(au), jnp.sin(au)          # [g_sz, u_rows]
+            cv, sv_ = jnp.cos(av), jnp.sin(av)         # [g_sz, n1]
+            lor, loi = outer_c(cv, sv_, cu, su)        # [g_sz*n1, u_rows]
+            btr = jnp.broadcast_to(blk_tr[None], (g_sz, n1, u_rows)
+                                   ).reshape(g_sz * n1, u_rows)
+            bti = jnp.broadcast_to(blk_ti[None], (g_sz, n1, u_rows)
+                                   ).reshape(g_sz * n1, u_rows)
+            yr = (btr * lor - bti * loi).astype(bf16)
+            yi = (btr * loi + bti * lor).astype(bf16)
+
+            # --- forward DFT: stage A wide, block transpose, stage C ---
+            zr, zi = mm(yr, yi, f2r, f2i)              # [g*n1, n2]
+            zpr = zr * wtr_t - zi * wti_t
+            zpi = zr * wti_t + zi * wtr_t
+            tr_ = jnp.transpose(zpr.reshape(g_sz, n1, n2),
+                                (0, 2, 1)).reshape(g_sz * n2, n1)
+            ti_ = jnp.transpose(zpi.reshape(g_sz, n1, n2),
+                                (0, 2, 1)).reshape(g_sz * n2, n1)
+            gr, gi = mm(tr_.astype(bf16), ti_.astype(bf16), f1r, f1i)
+            # no conj here: code_spectra() already bakes conj(FFT(code))
+            # into the spectra (the FFT-dot convention)
+
+            # --- product with code spectra [g*k2, k1] ------------------
+            cr = cw_r_ref[pl.ds(g * g_sz * n2, g_sz * n2)].astype(f32)
+            ci = cw_i_ref[pl.ds(g * g_sz * n2, g_sz * n2)].astype(f32)
+            pr = cr * gr - ci * gi
+            pi_ = cr * gi + ci * gr
+
+            # --- prompt ramp, factored per channel ---------------------
+            a1 = -two_pi * ((k1i * (tau / n1)) % 1.0) + jnp.where(
+                upper, two_pi * (tau % 1.0), 0.0)      # [g_sz, n1]
+            a2 = -two_pi * ((k2i * (tau / nf)) % 1.0)  # [g_sz, n2]
+            c1, s1 = jnp.cos(a1), jnp.sin(a1)
+            c2, s2 = jnp.cos(a2), jnp.sin(a2)
+            rmr, rmi = outer_c(c2, s2, c1, s1)         # [g_sz*n2, n1]
+            wr = pr * rmr - pi_ * rmi
+            wi = pr * rmi + pi_ * rmr
+
+            inv_nf = jnp.float32(1.0 / nf)
+            red3 = lambda x: jnp.sum(jnp.sum(
+                x.reshape(g_sz, n2, n1), axis=2, keepdims=True),
+                axis=1, keepdims=True).reshape(g_sz, 1) * inv_nf
+            sel = lambda wrap, t1, t2: jnp.where(
+                wrap, jnp.broadcast_to(t2[None], (g_sz, n2, n1)),
+                jnp.broadcast_to(t1[None], (g_sz, n2, n1))).reshape(
+                g_sz * n2, n1)
+            ter = sel(wrap_e, ter_ref[:], tewr_ref[:])
+            tei = sel(wrap_e, tei_ref[:], tewi_ref[:])
+            tlr = sel(wrap_l, tlr_ref[:], tlwr_ref[:])
+            tli = sel(wrap_l, tli_ref[:], tlwi_ref[:])
+            vals = (red3(wr), red3(wi),
+                    red3(wr * ter - wi * tei), red3(wr * tei + wi * ter),
+                    red3(wr * tlr - wi * tli), red3(wr * tli + wi * tlr))
+
+            lane = jax.lax.broadcasted_iota(jnp.int32, (g_sz, 128), 1)
+            out = jnp.zeros((g_sz, 128), f32)
+            for j, vv in enumerate(vals):
+                out = jnp.where(lane == j, vv, out)
+            out_ref[0, pl.ds(g * g_sz, g_sz), :] = out
+
+    return kernel
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("period", "nf", "dsamp", "interpret"))
+def track_corr(blk_tr: jnp.ndarray, blk_ti: jnp.ndarray,
+               params: jnp.ndarray, cw_r: jnp.ndarray, cw_i: jnp.ndarray,
+               *, period: int, nf: int, dsamp: float = 0.0,
+               interpret: bool = False):
+    """E/P/L correlators for every (epoch, channel), fully fused.
+
+    Args:
+      blk_tr/blk_ti: ``[e_sub, n1, u_rows]`` float32 planes of the
+        step's 1 ms epochs, zero-padded P -> u_rows*n1 and TRANSPOSED
+        from the row-major ``[u_rows, n1]`` layout (u_rows from
+        :func:`track_tables`).
+      params: ``[e_sub, n_pad, 128]`` float32 (n_pad a multiple of 8);
+        per (epoch, channel) lanes [phase0 (cycles), delta
+        (cycles/sample), tau (samples, prompt lag in [0, P)), wrap_e,
+        wrap_l].
+      cw_r/cw_i: planes from :func:`spec_planes` (conj + circular wrap
+        folded in, as produced by track.channel.code_spectra).
+      dsamp: early/late tap offset in samples (static).
+
+    Returns ``[e_sub, n_pad, 6]`` float32: (cp, ce, cl) re/im pairs,
+    scaled like the einsum FFT-dot path (sum / NF).
+    """
+    from jax.experimental import pallas as pl
+    n1, n2 = split_nf(nf)
+    (u_rows, (f2r, f2i), (wtr, wti), (f1r, f1i),
+     taps) = track_tables(nf, period, dsamp)
+    (ter, tei), (tewr, tewi), (tlr, tli), (tlwr, tlwi) = taps
+    e_sub, n_pad = params.shape[0], params.shape[1]
+    kernel = _kernel_factory(n_pad, n1, n2, u_rows, nf)
+
+    full = lambda a: pl.BlockSpec(a.shape, lambda i: (0,) * a.ndim)
+    consts = [jnp.asarray(a) for a in
+              (f2r, f2i, wtr, wti, f1r, f1i,
+               ter, tei, tewr, tewi, tlr, tli, tlwr, tlwi)]
+    out = pl.pallas_call(
+        kernel,
+        grid=(e_sub,),
+        in_specs=[pl.BlockSpec((1, n1, u_rows), lambda i: (i, 0, 0))] * 2 +
+                 [pl.BlockSpec((1, n_pad, 128), lambda i: (i, 0, 0))] +
+                 [full(cw_r), full(cw_i)] +
+                 [full(c) for c in consts],
+        out_specs=pl.BlockSpec((1, n_pad, 128), lambda i: (i, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((e_sub, n_pad, 128), jnp.float32),
+        interpret=interpret,
+    )(blk_tr, blk_ti, params, cw_r, cw_i, *consts)
+    return out[:, :, :6]

@@ -114,7 +114,7 @@ def start_channel(state: ChannelState, ch: int, doppler_hz: float,
     jax.jit,
     static_argnames=("fs", "pll_gains", "dll_gains", "fll_bn_hz",
                      "corr_spacing", "carrier_aiding", "epochs_per_step",
-                     "agc_thresholds"))
+                     "agc_thresholds", "use_pallas"))
 def track_epochs(samples: jnp.ndarray, state: ChannelState,
                  code_tables: jnp.ndarray, *, fs: float,
                  pll_gains: tuple[float, float],
@@ -124,7 +124,8 @@ def track_epochs(samples: jnp.ndarray, state: ChannelState,
                  carrier_aiding: bool = True,
                  epochs_per_step: int = 1,
                  code_ffts: Optional[jnp.ndarray] = None,
-                 agc_thresholds: Optional[tuple[float, float]] = None
+                 agc_thresholds: Optional[tuple[float, float]] = None,
+                 use_pallas: Optional[bool] = None
                  ) -> tuple[ChannelState, EpochOut]:
     """Run the channel bank over a span of complex baseband samples.
 
@@ -152,6 +153,12 @@ def track_epochs(samples: jnp.ndarray, state: ChannelState,
         ``lo`` — the reference's strong-signal AGC with hysteresis
         (reference: c/channel.cpp:265-288, thresholds 1200^2/1400^2 in
         its fixed-point scale).  ``None`` disables the AGC.
+      use_pallas: route the FFT-dot correlator through the fused MXU
+        kernel (tpu_gnss.ops.mxu_track) — wipe, forward DFT, spectrum
+        product and E/P/L taps per (channel, epoch) row in VMEM, which
+        keeps channel scaling linear (the XLA path's [n_chan, e_sub, NF]
+        intermediates become HBM-bound beyond ~12 channels).  Default:
+        on for TPU backends, off elsewhere; only used with ``code_ffts``.
 
     Returns (final state, per-epoch outputs).
     """
@@ -179,19 +186,67 @@ def track_epochs(samples: jnp.ndarray, state: ChannelState,
     wipe_a = jnp.arange(wipe_k, dtype=jnp.float32)
     wipe_b = jnp.arange(wipe_nb, dtype=jnp.float32) * wipe_k
 
-    def epoch(st: ChannelState, blk: jnp.ndarray):
-        delta = (st.carrier_freq / fs)[:, None]       # cycles/sample
-        pha = (-two_pi) * ((delta * wipe_a[None, :]) % 1.0)
-        phb = (-two_pi) * ((st.carrier_phase[:, None]
-                            + delta * wipe_b[None, :]) % 1.0)
-        ea = jax.lax.complex(jnp.cos(pha), jnp.sin(pha))   # [n_chan, K]
-        eb = jax.lax.complex(jnp.cos(phb), jnp.sin(phb))   # [n_chan, nb]
-        lo = (eb[:, :, None] * ea[:, None, :]).reshape(
-            -1, wipe_nb * wipe_k)[:, :step_len]
-        wiped = (blk.reshape(-1)[None, :] * lo).reshape(
-            lo.shape[0], e_sub, p)
+    pallas_corr = use_pallas
+    if pallas_corr is None:
+        pallas_corr = jax.devices()[0].platform in ("tpu", "axon")
+    pallas_corr = pallas_corr and code_ffts is not None
+    if pallas_corr:
+        from ..ops import mxu_track
+        nf_p = code_ffts.shape[-1]
+        nc_pad = -(-code_tables.shape[0] // 8) * 8
+        spec_r, spec_i = mxu_track.spec_planes(code_ffts, nf_p, nc_pad)
+        u_rf_p = mxu_track.track_tables(
+            nf_p, p, corr_spacing * p / CODE_LEN_CHIPS)[0]
+        n1_p = mxu_track.split_nf(nf_p)[0]
+        kern_interp = jax.devices()[0].platform not in ("tpu", "axon")
 
-        if code_ffts is not None:
+    def epoch(st: ChannelState, blk: jnp.ndarray):
+        def wipe():
+            delta = (st.carrier_freq / fs)[:, None]   # cycles/sample
+            pha = (-two_pi) * ((delta * wipe_a[None, :]) % 1.0)
+            phb = (-two_pi) * ((st.carrier_phase[:, None]
+                                + delta * wipe_b[None, :]) % 1.0)
+            ea = jax.lax.complex(jnp.cos(pha), jnp.sin(pha))  # [n_chan, K]
+            eb = jax.lax.complex(jnp.cos(phb), jnp.sin(phb))  # [n_chan, nb]
+            lo = (eb[:, :, None] * ea[:, None, :]).reshape(
+                -1, wipe_nb * wipe_k)[:, :step_len]
+            return (blk.reshape(-1)[None, :] * lo).reshape(
+                lo.shape[0], e_sub, p)
+
+        if pallas_corr:
+            # --- fused MXU correlator (tpu_gnss.ops.mxu_track) -----------
+            n_chan = code_tables.shape[0]
+            scale = p / CODE_LEN_CHIPS
+            delta = st.carrier_freq / fs
+            phase0 = (st.carrier_phase[:, None]
+                      + delta[:, None] * e_steps) % 1.0      # [n_chan, e]
+            chips0 = (st.code_phase[:, None]
+                      + (st.code_freq / fs)[:, None] * e_steps)
+            s0p = (chips0 % CODE_LEN_CHIPS) * scale
+            s0e = ((chips0 + corr_spacing) % CODE_LEN_CHIPS) * scale
+            s0l = ((chips0 - corr_spacing) % CODE_LEN_CHIPS) * scale
+            par = jnp.stack(
+                [phase0, jnp.broadcast_to(delta[:, None], phase0.shape),
+                 s0p, (s0e < s0p).astype(jnp.float32),
+                 (s0l > s0p).astype(jnp.float32)],
+                axis=-1)                                # [n_chan, e, 5]
+            par = jnp.pad(par, ((0, nc_pad - n_chan), (0, 0), (0, 123)))
+            par = jnp.transpose(par, (1, 0, 2))         # [e, nc_pad, 128]
+            blk_pad = jnp.pad(blk, ((0, 0), (0, u_rf_p * n1_p - p)))
+            blk3 = blk_pad.reshape(e_sub, u_rf_p, n1_p)
+            blk_tr = jnp.transpose(jnp.real(blk3), (0, 2, 1))
+            blk_ti = jnp.transpose(jnp.imag(blk3), (0, 2, 1))
+            out6 = mxu_track.track_corr(
+                blk_tr, blk_ti, par, spec_r, spec_i, period=p,
+                nf=nf_p, dsamp=corr_spacing * scale, interpret=kern_interp)
+            out6 = jnp.transpose(out6[:, :n_chan], (1, 0, 2))
+            trip = {0.0: jax.lax.complex(out6[..., 0], out6[..., 1]),
+                    corr_spacing: jax.lax.complex(out6[..., 2],
+                                                  out6[..., 3]),
+                    -corr_spacing: jax.lax.complex(out6[..., 4],
+                                                   out6[..., 5])}
+            corr = trip.__getitem__
+        elif code_ffts is not None:
             # --- FFT-dot correlators: gather-free ------------------------
             # corr(τ) = (1/NF) Σ_k W[k]·spec[k]·e^{-j2πkτ/NF}, spec from
             # code_spectra() (conj code FFT with the circular wrap folded
@@ -203,6 +258,7 @@ def track_epochs(samples: jnp.ndarray, state: ChannelState,
             # unfused custom call with ~0.3 ms fixed cost per invocation
             # on this backend — 50 scan steps/s made it the dominant
             # tracking cost.
+            wiped = wipe()
             nf = code_ffts.shape[-1]
             n1f, n2f, u_rf, f2c, wtc, f1c = _dft_tables_np(nf, p)
             cplx = lambda a: jax.lax.complex(jnp.asarray(a.real),
@@ -248,6 +304,7 @@ def track_epochs(samples: jnp.ndarray, state: ChannelState,
                 return (w * tv).sum(axis=-1) / nf
         else:
             # --- reference-style resampled-code correlators --------------
+            wiped = wipe()
             chips_t = (st.code_phase[:, None, None]
                        + (st.code_freq / fs)[:, None, None] * n[None, :, :])
             ch_idx = jnp.arange(code_tables.shape[0])[:, None, None]
