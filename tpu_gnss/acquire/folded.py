@@ -587,6 +587,14 @@ class FoldedSearcher:
         centers = np.asarray([d["doppler_hz"] for d in dets], np.float64)
         offs = np.arange(-2, 3, dtype=np.float64) * step
         window = np.unique((centers[:, None] + offs[None, :]).ravel())
+        # pad the window grid to a size bucket (repeat the last bin):
+        # the refinement program's shape then stays stable across runs
+        # with different detection counts, so one cached compile serves
+        # them all (fresh compiles cost ~minutes on the tunneled backend)
+        bucket = 16
+        pad = (-len(window)) % bucket
+        if pad:
+            window = np.concatenate([window, np.full(pad, window[-1])])
         pwr = np.asarray(_power_grid_jit(
             samples, self.code_ffts_p,
             jnp.asarray(window.astype(np.float32)),

@@ -73,6 +73,8 @@ def main(argv=None) -> int:
                    help="reproduce the reference bug where argv max_fo is "
                         "parsed but never applied (stays 5000)")
     args = p.parse_args(argv)
+    from ..utils.jaxcache import enable_persistent_cache
+    enable_persistent_cache()
 
     max_fo = 5000.0 if args.quirk_ignore_max_fo else args.max_fo
     cfg = ReceiverConfig(fs=args.fs, fc=args.fc, max_fo=max_fo,

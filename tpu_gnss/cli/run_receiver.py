@@ -40,6 +40,8 @@ def main(argv=None) -> int:
                         "fix then needs one subframe (~7 s) instead of "
                         "three (~20 s)")
     args = p.parse_args(argv)
+    from ..utils.jaxcache import enable_persistent_cache
+    enable_persistent_cache()
 
     import os
     if not os.path.exists(args.filename):

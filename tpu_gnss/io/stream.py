@@ -53,6 +53,22 @@ class FileSource1Bit(SampleSource):
         self.fs = cfg.fs
         self.per_block_phase = per_block_phase
 
+    def bit_blocks(self, block_len: int) -> Iterator[np.ndarray]:
+        """Raw {0,1} sample blocks (uint8), for device-side mixing.
+
+        8x the packed file size but 8x smaller than complex64 — the
+        receiver's fast path transfers these and runs the quadrature mix
+        on device (tpu_gnss.acquire.search.mix_baseband with a running
+        sample offset), keeping the host loop at I/O speed.
+        """
+        assert block_len % 8 == 0
+        with open(self.path, "rb") as f:
+            while True:
+                raw = f.read(block_len // 8)
+                if len(raw) < block_len // 8:
+                    return
+                yield loaders.unpack_1bit(raw)
+
     def blocks(self, block_len: int) -> Iterator[np.ndarray]:
         assert block_len % 8 == 0
         i_tbl, q_tbl = loaders.LO_TABLES["offline"]
@@ -144,16 +160,20 @@ class SynthSource(SampleSource):
 class Prefetcher:
     """Background-thread block prefetch (double/triple buffering)."""
 
-    def __init__(self, source: SampleSource, block_len: int, depth: int = 3):
+    def __init__(self, source: SampleSource, block_len: int, depth: int = 3,
+                 bits: bool = False):
         self._q: queue.Queue = queue.Queue(maxsize=depth)
         self._src = source
         self._block_len = block_len
+        self._bits = bits
         self._thread = threading.Thread(target=self._pump, daemon=True)
         self._thread.start()
 
     def _pump(self):
         try:
-            for blk in self._src.blocks(self._block_len):
+            it = (self._src.bit_blocks(self._block_len) if self._bits
+                  else self._src.blocks(self._block_len))
+            for blk in it:
                 self._q.put(blk)
         finally:
             self._q.put(None)

@@ -81,7 +81,7 @@ class Receiver:
                  solve_interval_s: float = 4.0,
                  los_power_ratio: float = 0.05,
                  los_timeout_s: float = 2.0,
-                 epochs_per_step: int = 1,
+                 epochs_per_step: int = 10,
                  reacq_interval_s: float = 5.0,
                  fft_correlator: bool = True,
                  agc_thresholds: Optional[tuple] = None,
@@ -107,16 +107,21 @@ class Receiver:
         # + refine; "auto" picks mxu on TPU when the transform factors
         self.acq_engine = acq_engine
 
-    def _cold_detections(self, iq_head) -> list:
-        """Refined detections for channel seeding, engine-dispatched."""
+    def _cold_detections(self, head, bits: bool = False) -> list:
+        """Refined detections for channel seeding, engine-dispatched.
+
+        ``head`` is a complex-baseband block, or raw {0,1} samples when
+        ``bits`` (mixed on device).
+        """
         engine = self.acq_engine
         if engine == "auto":
             import jax
             engine = ("mxu" if jax.devices()[0].platform in ("tpu", "axon")
                       and self.searcher.mxu_supported() else "xla")
+        kw = dict(bits=head) if bits else dict(iq=head)
         if engine == "mxu":
-            return self.searcher.detections_refined_fast(iq=iq_head)
-        pwr = self.searcher.power_grid(iq=iq_head)
+            return self.searcher.detections_refined_fast(**kw)
+        pwr = self.searcher.power_grid(**kw)
         return self.searcher.detections_refined(pwr)
 
     # ------------------------------------------------------------------
@@ -216,15 +221,21 @@ class Receiver:
         import jax.numpy as jnp
         from .io.stream import Prefetcher
         from .utils.xfer import to_device_complex
+        from .utils.metrics import METRICS
 
         cfg = self.cfg
         p = round(cfg.fs * 1e-3)
         assert int(chunk_s * 1000) % self.epochs_per_step == 0, \
             "chunk_s must cover whole tracking steps"
         chunk_len = max(1, int(chunk_s * 1000)) * p
-        blocks = iter(Prefetcher(source, chunk_len))
+        # fast path for 1-bit sources: transfer raw {0,1} samples (8x
+        # smaller than complex64) and run the quadrature mix on device
+        # with a running sample offset — host stays at file-I/O speed
+        use_bits = hasattr(source, "bit_blocks")
+        blocks = iter(Prefetcher(source, chunk_len, bits=use_bits))
 
-        first = next(blocks, None)
+        with METRICS.stage("receiver.read"):
+            first = next(blocks, None)
         if first is None:
             return ReceiverResult(detections=[], channels=[], solutions=[])
         assert len(first) >= self.searcher.block_len, \
@@ -247,7 +258,7 @@ class Receiver:
             free = [ch for ch in range(n_chan) if ch not in live]
             if not free:
                 return []
-            dets = sorted(self._cold_detections(blk_head),
+            dets = sorted(self._cold_detections(blk_head, bits=use_bits),
                           key=lambda d: -d["snr"])
             tracked = {r.prn for r in live.values()}
             started = []
@@ -270,7 +281,8 @@ class Receiver:
                 started.append(d)
             return started
 
-        first_dets = try_acquire(first[: self.searcher.block_len], 0)
+        with METRICS.stage("receiver.acquire"):
+            first_dets = try_acquire(first[: self.searcher.block_len], 0)
         reacq_cooldown = int(self.reacq_interval_s * 1000)
         next_reacq = reacq_cooldown
 
@@ -282,22 +294,32 @@ class Receiver:
                 break
             if (n_epochs_total >= next_reacq and len(live) < n_chan
                     and len(blk) >= self.searcher.block_len):
-                try_acquire(blk[: self.searcher.block_len], n_epochs_total)
+                with METRICS.stage("receiver.acquire"):
+                    try_acquire(blk[: self.searcher.block_len],
+                                n_epochs_total)
                 next_reacq = n_epochs_total + reacq_cooldown
             tables = jnp.asarray(tables_np)
             code_ffts = self._spectra(
                 [live[ch].prn if ch in live else 1 for ch in range(n_chan)],
                 n_chan)
-            seg = to_device_complex(np.ascontiguousarray(blk[: n_ep * p]))
-            state, out = tc.track_epochs(
-                seg, state, tables, fs=cfg.fs,
-                pll_gains=self.pll_gains, dll_gains=self.dll_gains,
-                epochs_per_step=self.epochs_per_step,
-                code_ffts=code_ffts,
-                agc_thresholds=self.agc_thresholds)
-            ip = np.asarray(out.ip)
-            qp = np.asarray(out.qp)
-            cf = np.asarray(out.code_freq)
+            with METRICS.stage("receiver.transfer"):
+                if use_bits:
+                    seg = self._mix_chunk(
+                        jnp.asarray(np.ascontiguousarray(blk[: n_ep * p])),
+                        n_epochs_total * p)
+                else:
+                    seg = to_device_complex(
+                        np.ascontiguousarray(blk[: n_ep * p]))
+            with METRICS.stage("receiver.track"):
+                state, out = tc.track_epochs(
+                    seg, state, tables, fs=cfg.fs,
+                    pll_gains=self.pll_gains, dll_gains=self.dll_gains,
+                    epochs_per_step=self.epochs_per_step,
+                    code_ffts=code_ffts,
+                    agc_thresholds=self.agc_thresholds)
+                ip = np.asarray(out.ip)
+                qp = np.asarray(out.qp)
+                cf = np.asarray(out.code_freq)
             for r in live.values():
                 r.ip_hist.extend(ip[:, r.ch].tolist())
                 r.qp_hist.extend(qp[:, r.ch].tolist())
@@ -311,10 +333,12 @@ class Receiver:
             if (max_duration_s is not None
                     and n_epochs_total * 1e-3 >= max_duration_s):
                 break
-            blk = next(blocks, None)
+            with METRICS.stage("receiver.read"):
+                blk = next(blocks, None)
 
-        for r in recs:
-            self._decode_nav(r)
+        with METRICS.stage("receiver.nav"):
+            for r in recs:
+                self._decode_nav(r)
         dets = first_dets
         solutions = []
         step = int(self.solve_interval_s * 1000)
@@ -327,6 +351,18 @@ class Receiver:
                 solutions.append(sol)
         return ReceiverResult(detections=dets, channels=recs,
                               solutions=solutions)
+
+    # ------------------------------------------------------------------
+    def _mix_chunk(self, bits_dev, sample0: int):
+        """Device-side quadrature mix of a {0,1} chunk (jitted, cached)."""
+        if not hasattr(self, "_mix_fn"):
+            import jax
+            from .acquire.search import mix_baseband
+            lo_rate = self.cfg.lo_rate
+            self._mix_fn = jax.jit(
+                lambda b, s0: mix_baseband(b, lo_rate, sample0=s0))
+        import jax.numpy as jnp
+        return self._mix_fn(bits_dev, jnp.int32(sample0))
 
     # ------------------------------------------------------------------
     def _spectra(self, prns, n_chan):
