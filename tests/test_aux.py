@@ -112,3 +112,34 @@ def test_playback_adsb_profile(capsys):
     playback.main(["plan", "adsb_for_hackrf.bin", "--profile", "adsb"])
     out = capsys.readouterr().out
     assert "hackrf_transfer -s 2000000 -f 1176450000" in out
+
+
+def test_iq_scatter_and_log(tmp_path):
+    """IQ scatter renders clusters; npz log round-trips (FPGA IQ-log analog)."""
+    import numpy as np
+    from tpu_gnss.utils import metrics
+
+    rng = np.random.default_rng(0)
+    bits = rng.integers(0, 2, 400) * 2 - 1
+    ip = 1000.0 * bits + 30.0 * rng.standard_normal(400)
+    qp = 30.0 * rng.standard_normal(400)
+    art = metrics.iq_scatter_ascii(ip, qp)
+    lines = art.splitlines()
+    assert len(lines) == 21 and all(len(l) == 21 for l in lines)
+    mid = 10
+    # locked Costas: two clusters on the I axis, nothing top/bottom
+    assert any(c not in " |-" for c in lines[mid])
+    assert all(c in " |-" for c in lines[0] + lines[-1])
+
+    class Rec:
+        def __init__(self):
+            self.prn = 7
+            self.ip_hist = ip.tolist()
+            self.qp_hist = qp.tolist()
+            self.code_freq_hist = [1.023e6] * 400
+
+    path = str(tmp_path / "iq.npz")
+    metrics.save_iq_log(path, [Rec()])
+    dat = np.load(path)
+    assert np.allclose(dat["prn07_ip"], np.asarray(ip, np.float32))
+    assert dat["prn07_code_freq"].shape == (400,)

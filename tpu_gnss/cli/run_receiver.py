@@ -35,6 +35,11 @@ def main(argv=None) -> int:
     p.add_argument("--channels", type=int, default=12)
     p.add_argument("--checkpoint", default=None,
                    help="write receiver state (npz) here at the end")
+    p.add_argument("--iq-log", default=None, metavar="FILE.npz",
+                   help="dump per-channel prompt I/Q + code-rate "
+                        "histories (the FPGA RSSI/IQ-logging analog) and "
+                        "print a constellation scatter of the strongest "
+                        "channel")
     p.add_argument("--warm-start", default=None,
                    help="load ephemerides from a previous checkpoint; a "
                         "fix then needs one subframe (~7 s) instead of "
@@ -101,6 +106,17 @@ def main(argv=None) -> int:
     else:
         print("\nno position fix (need >=4 decoded ephemerides; capture "
               "must span >=3 subframes / ~18 s of NAV data)")
+
+    if args.iq_log:
+        tracked = [r for r in result.channels if r.ip_hist]
+        if tracked:
+            metrics.save_iq_log(args.iq_log, tracked)
+            best = max(tracked, key=lambda r: float(
+                np.mean(np.square(np.asarray(r.ip_hist[-200:])))))
+            print(f"\nIQ log ({len(tracked)} channels) -> {args.iq_log}; "
+                  f"PRN {best.prn} prompt constellation:")
+            print(metrics.iq_scatter_ascii(best.ip_hist[200:],
+                                           best.qp_hist[200:]))
 
     if args.checkpoint:
         from ..utils.checkpoint import save_state

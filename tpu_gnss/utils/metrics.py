@@ -143,3 +143,66 @@ def gps_day_time(week: int, tow_s: float) -> str:
     m, ms = divmod(ms, 60 * 1000)
     return (f"week {week} {days[day]} {h:02d}:{m:02d}:"
             f"{ms / 1000.0:06.3f} GPS")
+
+
+def iq_scatter_ascii(ip, qp, size: int = 21, half_width: float = 0.0) -> str:
+    """ASCII I/Q constellation scatter of prompt correlator outputs.
+
+    The software analog of the reference FPGA's "RSSI and IQ logging
+    (e.g. for scatter plots)" affordance ("Homemade GPS Receiver.html"
+    §design notes): a locked Costas loop shows two tight clusters on the
+    I axis (the NAV bit constellation); a circle means carrier phase is
+    not locked.
+
+    Args:
+      ip/qp: per-epoch prompt I and Q arrays.
+      size: square grid size in characters (odd keeps axes centered).
+      half_width: plot half-range; 0 -> auto (1.2x the 95th percentile).
+    """
+    import numpy as np
+    ip = np.asarray(ip, dtype=np.float64)
+    qp = np.asarray(qp, dtype=np.float64)
+    if half_width <= 0:
+        mag = np.abs(np.concatenate([ip, qp]))
+        half_width = 1.2 * (np.percentile(mag, 95) or 1.0)
+    grid = np.zeros((size, size), dtype=np.int64)
+    col = np.clip(((ip / half_width) + 1.0) * 0.5 * (size - 1), 0,
+                  size - 1).astype(int)
+    row = np.clip(((-qp / half_width) + 1.0) * 0.5 * (size - 1), 0,
+                  size - 1).astype(int)
+    np.add.at(grid, (row, col), 1)
+    shades = " .:+*#@"
+    top = grid.max() or 1
+    lines = []
+    mid = size // 2
+    for r in range(size):
+        chars = []
+        for c in range(size):
+            n = grid[r, c]
+            if n == 0:
+                chars.append("|" if c == mid else
+                             ("-" if r == mid else " "))
+            else:
+                chars.append(shades[min(len(shades) - 1,
+                                        1 + int(n / top * (len(shades) - 2)))])
+        lines.append("".join(chars))
+    return "\n".join(lines)
+
+
+def save_iq_log(path: str, channels) -> None:
+    """Dump per-channel prompt I/Q + code-rate histories to an ``.npz``.
+
+    ``channels``: iterable of objects with prn / ip_hist / qp_hist /
+    code_freq_hist (tpu_gnss.receiver.ChannelRecord).  Epoch-rate I/Q is
+    exactly what the reference's FPGA exposes for offline scatter/RSSI
+    analysis; this is the capture side of that workflow.
+    """
+    import numpy as np
+    arrs = {}
+    for r in channels:
+        tag = f"prn{int(r.prn):02d}"
+        arrs[f"{tag}_ip"] = np.asarray(r.ip_hist, dtype=np.float32)
+        arrs[f"{tag}_qp"] = np.asarray(r.qp_hist, dtype=np.float32)
+        arrs[f"{tag}_code_freq"] = np.asarray(r.code_freq_hist,
+                                              dtype=np.float32)
+    np.savez_compressed(path, **arrs)
