@@ -47,15 +47,24 @@ def sv_time_knots(eph, rx_ecef, t_rx_knots):
 @pytest.fixture(scope="module")
 def scene():
     """One 20 s consistent 6-SV scene shared by the e2e tests."""
-    rng = np.random.default_rng(42)
-    ephs = make_constellation(6, t_oe=T_OE)
+    return build_scene()
+
+
+def build_scene(duration: float = 20.0, n_sv: int = 6, noise: float = 0.7,
+                seed: int = 42):
+    """Consistent multi-SV scene: (iq, ephs, rx_ecef).
+
+    Shared by the e2e tests and tools/e2e_payload.py (the on-hardware
+    demo) so both validate the identical scene recipe.
+    """
+    rng = np.random.default_rng(seed)
+    ephs = make_constellation(n_sv, t_oe=T_OE)
     rx = ps.geodetic_to_ecef(*TRUTH_LLA)
 
-    # Receiver timeline: 20 s starting t_rx0.  Each SV's NAV stream is
-    # [sf4, sf1, sf2, sf3]; t_rx0 is chosen so t_sv0 lands ~1.5 s before
-    # the next subframe boundary: the receiver locks during the sf4
-    # filler, then catches complete subframes 1-3 (6 s each).
-    duration = 20.0
+    # Receiver timeline: `duration` s starting t_rx0.  Each SV's NAV
+    # stream is [sf4, sf1, sf2, sf3]; t_rx0 is chosen so t_sv0 lands
+    # ~1.5 s before the next subframe boundary: the receiver locks
+    # during the sf4 filler, then catches complete subframes 1-3.
     n = int(duration * FS)
     t_knots = np.linspace(0, duration, 41)
 
@@ -75,7 +84,7 @@ def scene():
         stream = np.concatenate(frames)
         iq += synth.synth_from_sv_time(
             eph_prn(k), tsv, stream, sf0, FS, amplitude=1.0)
-    iq += (0.7 * (rng.standard_normal(n) + 1j * rng.standard_normal(n))
+    iq += (noise * (rng.standard_normal(n) + 1j * rng.standard_normal(n))
            / np.sqrt(2)).astype(np.complex64)
     return iq, ephs, rx
 

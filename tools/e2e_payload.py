@@ -15,40 +15,18 @@ enable_persistent_cache()
 
 from tpu_gnss.config import ReceiverConfig
 from tpu_gnss.receiver import Receiver
-from tpu_gnss.pvt import solve as ps
 from tpu_gnss.utils import metrics
 import tests.test_e2e as E
 
 t0 = time.perf_counter()
-import tests.test_pvt  # noqa: F401  (make_constellation import side)
-rng = np.random.default_rng(42)
-ephs = E.make_constellation(6, t_oe=E.T_OE)
-rx = ps.geodetic_to_ecef(*E.TRUTH_LLA)
-duration = 20.0
-n = int(duration * E.FS)
-t_knots = np.linspace(0, duration, 41)
-t_rx0 = E.T_OE + 88.6
-iq = np.zeros(n, dtype=np.complex64)
-from tpu_gnss.nav.ephemeris import encode_subframes
-from tpu_gnss.signal import synth
-for k, eph in enumerate(ephs):
-    tsv_k = E.sv_time_knots(eph, rx, t_rx0 + t_knots)
-    poly = np.polynomial.Polynomial.fit(t_knots, tsv_k, deg=3)
-    t = np.arange(n, dtype=np.float64) / E.FS
-    tsv = poly(t)
-    sf0 = 6.0 * np.floor(tsv[0] / 6.0)
-    tow0 = int(sf0 / 6.0) + 1
-    frames = encode_subframes(eph, tow_start=tow0, sids=(4, 1, 2, 3))
-    stream = np.concatenate(frames)
-    iq += synth.synth_from_sv_time(E.eph_prn(k), tsv, stream, sf0, E.FS,
-                                   amplitude=1.0)
-iq += (0.7 * (rng.standard_normal(n) + 1j * rng.standard_normal(n))
-       / np.sqrt(2)).astype(np.complex64)
+iq, ephs, rx = E.build_scene()
+duration = len(iq) / E.FS
 print(f"scene synth: {time.perf_counter()-t0:.1f}s "
       f"({duration:.0f}s of 6-SV baseband at {E.FS/1e6:.3f} Msps)",
       flush=True)
 
-cfg = ReceiverConfig(fs=E.FS, fc=0.0, max_fo=5000.0, num_chans=12)
+cfg = ReceiverConfig(fs=E.FS, fc=E.FS / 4, max_fo=5000.0, fft_len=4096,
+                     snr_threshold=20.0, num_chans=12)
 recv = Receiver(cfg)
 t0 = time.perf_counter()
 res = recv.process_iq(iq)

@@ -84,14 +84,18 @@ def code_fft_table(cfg: ReceiverConfig) -> jnp.ndarray:
 
 def mix_baseband(bits: jnp.ndarray, lo_rate: float,
                  variant: str = "offline",
-                 sample0=0) -> jnp.ndarray:
+                 phase0_quarters=0.0) -> jnp.ndarray:
     """Device-side quadrature square-wave downconversion of {0,1} samples.
 
     Same math as :func:`tpu_gnss.io.loaders.mix_1bit_block`
     (reference: c/search_offline.cpp:121-165) but jit-able so the mix fuses
     into the acquisition program.  ``bits`` may be int8/uint8 {0,1}.
-    ``sample0``: absolute index of the first sample (int scalar, may be
-    traced) — keeps the LO phase continuous across chunked captures.
+    ``phase0_quarters``: LO phase of the first sample in quarter cycles
+    (float scalar in [0, 4), may be traced) — keeps the LO continuous
+    across chunked captures.  Callers compute it on the host as
+    ``(sample0 * lo_rate) % 4.0`` in float64, which stays exact for
+    arbitrarily long captures (an on-device int32 sample counter would
+    overflow past 2^31 samples).
     """
     from ..io.loaders import LO_TABLES
     i_tbl, q_tbl = LO_TABLES[variant]
@@ -100,8 +104,8 @@ def mix_baseband(bits: jnp.ndarray, lo_rate: float,
     # at multi-second sample indices; plain f32 i*rate loses that, so the
     # ramp is computed with per-level range reduction (see _phase_mod4).
     i_lo = jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0).squeeze(-1)
-    i_lo = i_lo + jnp.asarray(sample0, jnp.int32)
-    phase = _phase_mod4(i_lo, lo_rate)
+    phase = (_phase_mod4(i_lo, lo_rate)
+             + jnp.asarray(phase0_quarters, jnp.float32)) % 4.0
     p = phase.astype(jnp.int32)
     s = (1 - 2 * bits.astype(jnp.int32)).astype(jnp.float32)
     itab = jnp.asarray(1.0 - 2.0 * np.asarray(i_tbl, np.float32))

@@ -113,10 +113,12 @@ def main(argv=None) -> int:
             metrics.save_iq_log(args.iq_log, tracked)
             best = max(tracked, key=lambda r: float(
                 np.mean(np.square(np.asarray(r.ip_hist[-200:])))))
+            # skip the pull-in transient when there is history beyond it
+            skip = 200 if len(best.ip_hist) > 400 else 0
             print(f"\nIQ log ({len(tracked)} channels) -> {args.iq_log}; "
                   f"PRN {best.prn} prompt constellation:")
-            print(metrics.iq_scatter_ascii(best.ip_hist[200:],
-                                           best.qp_hist[200:]))
+            print(metrics.iq_scatter_ascii(best.ip_hist[skip:],
+                                           best.qp_hist[skip:]))
 
     if args.checkpoint:
         from ..utils.checkpoint import save_state

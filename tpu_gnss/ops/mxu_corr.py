@@ -165,15 +165,18 @@ def _kernel_factory(n_sv: int, n1: int, n2: int, period: int, n_acc: int):
 # ---------------------------------------------------------------------------
 
 @functools.lru_cache(maxsize=8)
-def fused_tables(nf: int, period: int) -> tuple:
-    """Constant tables for :func:`fold_corr_reduce`.
+def four_step_np(nf: int, period: int) -> dict:
+    """Shared float64 four-step DFT factor tables (single source of truth
+    for the fused kernels AND the einsum paths — keep every consumer on
+    these so the index-map conventions cannot diverge).
 
     Index mapping (validated against np.fft): spectrum index
-    ``k = k1*n2 + k2``; time/lag index ``n = n1*u + v`` (forward input)
-    and ``lag = n1*q + t`` (correlation output).  Zero-padding makes only
-    ``u < u_rows`` forward input rows nonzero, and only ``q < q_cols``
-    output columns carry valid lags — both matmuls are trimmed
-    accordingly (≈2x fewer MACs than untrimmed stages when NF = 2P).
+    ``k = k1*n2 + k2``; time index ``n = n1*u + v`` (forward input) and
+    lag index ``lag = n1*q + t`` (correlation output).  Zero-padding
+    makes only ``u < u_rows`` forward input rows nonzero, and only
+    ``q < q_cols`` output columns carry lags inside one code period.
+    ``keff`` is the signed-frequency grid (``k - NF`` for the upper
+    half) in ``[k2, k1]`` layout, used by fractional-lag tap vectors.
     """
     n1, n2 = split_nf(nf)
     u_rows = min(n2, -(-period // n1))
@@ -184,15 +187,27 @@ def fused_tables(nf: int, period: int) -> tuple:
     u = np.arange(u_rows)
     q = np.arange(q_cols)
     t = np.arange(n1)
-    f2 = np.exp(-2j * np.pi * np.outer(k2, u) / n2)        # [n2, u_rows]
-    wt = np.exp(-2j * np.pi * np.outer(k2, v) / nf)        # [n2, n1]
-    f1 = np.exp(-2j * np.pi * np.outer(v, k1) / n1)        # [n1, n1]
-    e1 = np.exp(2j * np.pi * np.outer(k1, t) / n1)         # [n1, n1]
-    tw = np.exp(2j * np.pi * np.outer(k2, t) / nf)         # [n2, n1]
-    e2 = np.exp(2j * np.pi * np.outer(k2, q) / n2)         # [n2, q_cols]
+    k_grid = k1[None, :] * n2 + k2[:, None]                # [k2, k1]
+    return dict(
+        n1=n1, n2=n2, u_rows=u_rows, q_cols=q_cols,
+        f2=np.exp(-2j * np.pi * np.outer(k2, u) / n2),     # [n2, u_rows]
+        wt=np.exp(-2j * np.pi * np.outer(k2, v) / nf),     # [n2, n1]
+        f1=np.exp(-2j * np.pi * np.outer(v, k1) / n1),     # [n1, n1]
+        e1=np.exp(2j * np.pi * np.outer(k1, t) / n1),      # [n1, n1]
+        tw=np.exp(2j * np.pi * np.outer(k2, t) / nf),      # [n2, n1]
+        e2=np.exp(2j * np.pi * np.outer(k2, q) / n2),      # [n2, q_cols]
+        keff=np.where(k_grid >= nf // 2, k_grid - nf, k_grid))
+
+
+@functools.lru_cache(maxsize=8)
+def fused_tables(nf: int, period: int) -> tuple:
+    """Constant tables for :func:`fold_corr_reduce` (cast from
+    :func:`four_step_np`; both matmul trims follow u_rows/q_cols)."""
+    t = four_step_np(nf, period)
     bf = lambda a: (a.real.astype(jnp.bfloat16), a.imag.astype(jnp.bfloat16))
     f32 = lambda a: (a.real.astype(np.float32), a.imag.astype(np.float32))
-    return (u_rows, q_cols, bf(f2), f32(wt), bf(f1), bf(e1), f32(tw), bf(e2))
+    return (t["u_rows"], t["q_cols"], bf(t["f2"]), f32(t["wt"]),
+            bf(t["f1"]), bf(t["e1"]), f32(t["tw"]), bf(t["e2"]))
 
 
 def fold_code_planes_T(code_ffts_p: np.ndarray, period: int

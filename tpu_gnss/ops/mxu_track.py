@@ -41,33 +41,36 @@ from .mxu_corr import split_nf
 _GROUP = 16
 
 
+def pad_channels(n_chan: int) -> int:
+    """Channel padding for :func:`track_corr`: 8 when the bank fits one
+    sublane group, else a whole number of 16-channel kernel groups."""
+    if n_chan <= 8:
+        return 8
+    return -(-n_chan // _GROUP) * _GROUP
+
+
 @functools.lru_cache(maxsize=8)
 def track_tables(nf: int, period: int, dsamp: float) -> tuple:
     """Constant tables: forward-DFT factors + early/late tap grids.
 
-    Forward tables are for the transposed chain
-    ``G^T = ((Y^T @ F2^T) ⊙ W^T)^T_block @ F1``; tap grids are in the
-    ``[k2, k1]`` layout of G^T with signed frequencies:
-    ``t(d)[k2, k1] = e^{-j2πk_eff d/NF}`` where ``k = k1*n2 + k2`` and
-    ``k_eff = k - NF`` for ``k >= NF/2``.
+    Derived from :func:`tpu_gnss.ops.mxu_corr.four_step_np` (the single
+    source of the index-map conventions), transposed for this kernel's
+    chain ``G^T = ((Y^T @ F2^T) ⊙ W^T)^T_block @ F1``; tap grids are in
+    the ``[k2, k1]`` layout of G^T with signed frequencies:
+    ``t(d)[k2, k1] = e^{-j2πk_eff d/NF}``.
     """
-    n1, n2 = split_nf(nf)
-    u_rows = min(n2, -(-period // n1))
-    u = np.arange(u_rows)
-    v = np.arange(n1)
-    k1 = np.arange(n1)
-    k2 = np.arange(n2)
-    f2t = np.exp(-2j * np.pi * np.outer(u, k2) / n2)   # [u, k2]
-    wtt = np.exp(-2j * np.pi * np.outer(v, k2) / nf)   # [v, k2]
-    f1 = np.exp(-2j * np.pi * np.outer(v, k1) / n1)    # [v, k1]
-    k = k1[None, :] * n2 + k2[:, None]                 # [k2, k1]
-    keff = np.where(k >= nf // 2, k - nf, k)
-    tap = lambda d: np.exp(-2j * np.pi * keff * (d / nf))
+    from .mxu_corr import four_step_np
+    t = four_step_np(nf, period)
+    f2t = t["f2"].T                                    # [u, k2]
+    wtt = t["wt"].T                                    # [v, k2]
+    f1 = t["f1"]                                       # [v, k1]
+    tap = lambda d: np.exp(-2j * np.pi * t["keff"] * (d / nf))
     taps = (tap(dsamp), tap(dsamp - period),
             tap(-dsamp), tap(-dsamp + period))
     bf = lambda a: (a.real.astype(jnp.bfloat16), a.imag.astype(jnp.bfloat16))
     f32 = lambda a: (a.real.astype(np.float32), a.imag.astype(np.float32))
-    return (u_rows, bf(f2t), f32(wtt), bf(f1), tuple(f32(t) for t in taps))
+    return (t["u_rows"], bf(f2t), f32(wtt), bf(f1),
+            tuple(f32(x) for x in taps))
 
 
 def spec_planes(code_ffts: jnp.ndarray, nf: int, n_pad: int) -> tuple:
@@ -85,8 +88,11 @@ def spec_planes(code_ffts: jnp.ndarray, nf: int, n_pad: int) -> tuple:
 
 def _kernel_factory(n_pad: int, n1: int, n2: int, u_rows: int, nf: int):
     from jax.experimental import pallas as pl  # noqa: F401
-    n_grp = -(-n_pad // _GROUP)
     g_sz = min(_GROUP, n_pad)
+    assert n_pad % g_sz == 0, (
+        f"n_pad={n_pad} must be a multiple of the channel group {g_sz} "
+        "(pad channels with pad_channels())")
+    n_grp = n_pad // g_sz
 
     def kernel(blk_r_ref, blk_i_ref, par_ref, cw_r_ref, cw_i_ref,
                f2r_ref, f2i_ref, wtr_ref, wti_ref, f1r_ref, f1i_ref,

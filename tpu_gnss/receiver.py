@@ -230,8 +230,11 @@ class Receiver:
         chunk_len = max(1, int(chunk_s * 1000)) * p
         # fast path for 1-bit sources: transfer raw {0,1} samples (8x
         # smaller than complex64) and run the quadrature mix on device
-        # with a running sample offset — host stays at file-I/O speed
-        use_bits = hasattr(source, "bit_blocks")
+        # with a running sample offset — host stays at file-I/O speed.
+        # Sources configured for the reference's per-block LO phase
+        # restart must keep their own (host) mixing.
+        use_bits = (hasattr(source, "bit_blocks")
+                    and not getattr(source, "per_block_phase", False))
         blocks = iter(Prefetcher(source, chunk_len, bits=use_bits))
 
         with METRICS.stage("receiver.read"):
@@ -354,15 +357,22 @@ class Receiver:
 
     # ------------------------------------------------------------------
     def _mix_chunk(self, bits_dev, sample0: int):
-        """Device-side quadrature mix of a {0,1} chunk (jitted, cached)."""
+        """Device-side quadrature mix of a {0,1} chunk (jitted, cached).
+
+        The LO phase offset for the chunk is reduced on the host in
+        float64 (exact for any capture length; an int32 sample counter
+        on device would overflow past 2^31 samples).
+        """
         if not hasattr(self, "_mix_fn"):
             import jax
             from .acquire.search import mix_baseband
             lo_rate = self.cfg.lo_rate
             self._mix_fn = jax.jit(
-                lambda b, s0: mix_baseband(b, lo_rate, sample0=s0))
+                lambda b, p0: mix_baseband(b, lo_rate,
+                                           phase0_quarters=p0))
         import jax.numpy as jnp
-        return self._mix_fn(bits_dev, jnp.int32(sample0))
+        p0 = float((sample0 * float(self.cfg.lo_rate)) % 4.0)
+        return self._mix_fn(bits_dev, jnp.float32(p0))
 
     # ------------------------------------------------------------------
     def _spectra(self, prns, n_chan):

@@ -193,7 +193,7 @@ def track_epochs(samples: jnp.ndarray, state: ChannelState,
     if pallas_corr:
         from ..ops import mxu_track
         nf_p = code_ffts.shape[-1]
-        nc_pad = -(-code_tables.shape[0] // 8) * 8
+        nc_pad = mxu_track.pad_channels(code_tables.shape[0])
         spec_r, spec_i = mxu_track.spec_planes(code_ffts, nf_p, nc_pad)
         u_rf_p = mxu_track.track_tables(
             nf_p, p, corr_spacing * p / CODE_LEN_CHIPS)[0]
@@ -421,23 +421,17 @@ def track_epochs(samples: jnp.ndarray, state: ChannelState,
 
 @functools.lru_cache(maxsize=8)
 def _dft_tables_np(nf: int, period: int):
-    """Four-step forward-DFT tables (complex128->64 numpy, cached).
+    """Four-step forward-DFT tables for the einsum path (complex64).
 
-    Index mapping as in tpu_gnss.ops.mxu_corr: spectrum k = k1*n2 + k2,
-    time n = n1*u + v; only u < ceil(period/n1) input rows are nonzero
-    for a period-length block zero-padded to NF.
+    Cast from :func:`tpu_gnss.ops.mxu_corr.four_step_np`, the single
+    source of the index-map conventions (spectrum k = k1*n2 + k2, time
+    n = n1*u + v, only u < ceil(period/n1) input rows nonzero).
     """
-    from ..ops.mxu_corr import split_nf
-    n1, n2 = split_nf(nf)
-    u_rows = min(n2, -(-period // n1))
-    u = np.arange(u_rows)
-    v = np.arange(n1)
-    k1 = np.arange(n1)
-    k2 = np.arange(n2)
-    f2 = np.exp(-2j * np.pi * np.outer(k2, u) / n2).astype(np.complex64)
-    wt = np.exp(-2j * np.pi * np.outer(k2, v) / nf).astype(np.complex64)
-    f1 = np.exp(-2j * np.pi * np.outer(v, k1) / n1).astype(np.complex64)
-    return n1, n2, u_rows, f2, wt, f1
+    from ..ops.mxu_corr import four_step_np
+    t = four_step_np(nf, period)
+    c64 = lambda a: a.astype(np.complex64)
+    return (t["n1"], t["n2"], t["u_rows"],
+            c64(t["f2"]), c64(t["wt"]), c64(t["f1"]))
 
 
 @functools.lru_cache(maxsize=8)

@@ -162,6 +162,8 @@ def iq_scatter_ascii(ip, qp, size: int = 21, half_width: float = 0.0) -> str:
     import numpy as np
     ip = np.asarray(ip, dtype=np.float64)
     qp = np.asarray(qp, dtype=np.float64)
+    if ip.size == 0:
+        return "(no I/Q history)"
     if half_width <= 0:
         mag = np.abs(np.concatenate([ip, qp]))
         half_width = 1.2 * (np.percentile(mag, 95) or 1.0)
