@@ -234,3 +234,36 @@ def test_pallas_correlator_matches_einsum():
                                np.asarray(out_x.code_phase), atol=1e-4)
     np.testing.assert_allclose(np.asarray(st_p.carrier_freq),
                                np.asarray(st_x.carrier_freq), atol=0.05)
+
+
+def test_pallas_correlator_odd_channel_count():
+    """Channel padding covers banks that are not kernel-group multiples."""
+    import jax.numpy as jnp
+    from tpu_gnss.ops.mxu_track import pad_channels
+    assert pad_channels(5) == 8
+    assert pad_channels(12) == 16
+    assert pad_channels(20) == 32
+    assert pad_channels(33) == 48
+    n_chan = 20   # pads to 32 = two kernel groups (was an OOB crash)
+    n_epochs = 8
+    sv = synth.SvSignal(prn=9, doppler_hz=700.0, code_phase_chips=101.5)
+    iq = synth.synth_baseband([sv], FS, n_epochs * 5456, noise_std=0.3,
+                              seed=9)
+    prns = [(i % 32) + 1 for i in range(n_chan)]
+    state = tc.init_state(n_chan)
+    state = tc.start_channel(state, 8, 700.0, 101.5)  # PRN 9 at slot 8
+    tables = jnp.asarray(tc.channel_code_tables(prns, n_chan))
+    spec, _ = tc.code_spectra(prns, n_chan, FS)
+    gains = (tc.second_order_gains(18.0, t_s=4e-3),
+             tc.second_order_gains(2.0, t_s=4e-3))
+    _, out_x = tc.track_epochs(jnp.asarray(iq), state, tables, fs=FS,
+                               pll_gains=gains[0], dll_gains=gains[1],
+                               epochs_per_step=4, code_ffts=spec,
+                               use_pallas=False)
+    _, out_p = tc.track_epochs(jnp.asarray(iq), state, tables, fs=FS,
+                               pll_gains=gains[0], dll_gains=gains[1],
+                               epochs_per_step=4, code_ffts=spec,
+                               use_pallas=True)
+    ref = np.abs(np.asarray(out_x.ip)).max()
+    np.testing.assert_allclose(np.asarray(out_p.ip), np.asarray(out_x.ip),
+                               atol=2e-3 * ref)

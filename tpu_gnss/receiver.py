@@ -130,6 +130,7 @@ class Receiver:
         """Run the full chain over a host complex-baseband capture."""
         import jax.numpy as jnp
         from .utils.xfer import to_device_complex
+        from .utils.metrics import METRICS
 
         cfg = self.cfg
         p = round(cfg.fs * 1e-3)
@@ -139,9 +140,11 @@ class Receiver:
             "chunk_s must cover whole tracking steps"
 
         # --- 1. acquisition on the first coherent block ----------------
-        dets = sorted(
-            self._cold_detections(np.asarray(iq[: self.searcher.block_len])),
-            key=lambda d: -d["snr"])[:max_channels]
+        with METRICS.stage("receiver.acquire"):
+            dets = sorted(
+                self._cold_detections(
+                    np.asarray(iq[: self.searcher.block_len])),
+                key=lambda d: -d["snr"])[:max_channels]
 
         # --- 2. channel bank allocation --------------------------------
         n_chan = max(len(dets), 1)
@@ -164,16 +167,18 @@ class Receiver:
         e0 = 0
         while e0 < n_epochs_total:
             e1 = min(e0 + chunk_ep, n_epochs_total)
-            seg = to_device_complex(iq_host[e0 * p: e1 * p])
-            state, out = tc.track_epochs(
-                seg, state, tables, fs=cfg.fs,
-                pll_gains=self.pll_gains, dll_gains=self.dll_gains,
-                epochs_per_step=self.epochs_per_step,
-                code_ffts=code_ffts,
-                agc_thresholds=self.agc_thresholds)
-            ip = np.asarray(out.ip)
-            qp = np.asarray(out.qp)
-            cf = np.asarray(out.code_freq)
+            with METRICS.stage("receiver.transfer"):
+                seg = to_device_complex(iq_host[e0 * p: e1 * p])
+            with METRICS.stage("receiver.track"):
+                state, out = tc.track_epochs(
+                    seg, state, tables, fs=cfg.fs,
+                    pll_gains=self.pll_gains, dll_gains=self.dll_gains,
+                    epochs_per_step=self.epochs_per_step,
+                    code_ffts=code_ffts,
+                    agc_thresholds=self.agc_thresholds)
+                ip = np.asarray(out.ip)
+                qp = np.asarray(out.qp)
+                cf = np.asarray(out.code_freq)
             for r in recs:
                 if not r.lost:
                     r.ip_hist.extend(ip[:, r.ch].tolist())
