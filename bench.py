@@ -103,7 +103,7 @@ def _run_with_retries() -> int:
     """
     import subprocess
     import time as _time
-    for attempt in range(3):
+    for attempt in range(6):
         try:
             out = subprocess.run(
                 [sys.executable, "-u", __file__, "--inner"],
@@ -114,7 +114,7 @@ def _run_with_retries() -> int:
                     return 0
         except subprocess.TimeoutExpired:
             pass
-        _time.sleep(30)  # let the device tunnel recover
+        _time.sleep(60)  # let the device tunnel recover
     print(json.dumps({"metric": "acquisition_throughput", "value": 0,
                       "unit": "Msample*PRN*bin/s", "vs_baseline": 0,
                       "error": "device unavailable after retries"}))

