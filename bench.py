@@ -114,7 +114,8 @@ def _run_with_retries() -> int:
                     return 0
         except subprocess.TimeoutExpired:
             pass
-        _time.sleep(60)  # let the device tunnel recover
+        if attempt < 5:
+            _time.sleep(60)  # let the device tunnel recover
     print(json.dumps({"metric": "acquisition_throughput", "value": 0,
                       "unit": "Msample*PRN*bin/s", "vs_baseline": 0,
                       "error": "device unavailable after retries"}))

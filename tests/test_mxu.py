@@ -167,3 +167,19 @@ def test_detections_refined_fast_matches_grid_refine():
     assert abs(g["doppler_hz"] - w["doppler_hz"]) < 1.0
     assert abs(g["ca_shift"] - w["ca_shift"]) < 0.05
     np.testing.assert_allclose(g["snr"], w["snr"], rtol=1e-4)
+
+
+def test_detections_refined_fast_prn_subset():
+    """Refined-fast must index power-grid rows by cfg.prns position, not
+    by sv number (regression: d['sv'] = prn-1 was used as the row)."""
+    import dataclasses
+    from tpu_gnss.config import SYNTHETIC
+    from tpu_gnss.signal import synth
+    cfg = dataclasses.replace(SYNTHETIC, prns=(7, 8, 21))
+    s = F.FoldedSearcher(cfg, n_coherent=4)
+    sv = synth.SvSignal(prn=8, doppler_hz=409.2, code_phase_chips=512.0)
+    iq = synth.synth_baseband([sv], cfg.fs, s.block_len, noise_std=0.1,
+                              seed=3)
+    dets = s.detections_refined_fast(iq=iq)
+    assert [d["prn"] for d in dets] == [8]
+    assert abs(dets[0]["doppler_hz"] - 409.2) < 80.0

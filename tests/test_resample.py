@@ -87,3 +87,13 @@ def test_remove_dc():
 def test_design_lowpass_dc_gain():
     taps = rs.design_lowpass(101, 0.1)
     assert abs(taps.sum() - 1.0) < 1e-12
+
+
+def test_raised_cosine_rolloff_zero():
+    """rolloff=0 is a pure sinc — must not divide by zero."""
+    from tpu_gnss.signal.synth import raised_cosine_fir
+    h = raised_cosine_fir(oversample=8, rolloff=0.0)
+    t = np.arange(-3 * 8, 3 * 8 + 1) / 8.0
+    np.testing.assert_allclose(h, np.sinc(t), atol=1e-12)
+    h5 = raised_cosine_fir(oversample=8, rolloff=0.5)
+    assert np.isfinite(h5).all()

@@ -267,3 +267,103 @@ def test_pallas_correlator_odd_channel_count():
     ref = np.abs(np.asarray(out_x.ip)).max()
     np.testing.assert_allclose(np.asarray(out_p.ip), np.asarray(out_x.ip),
                                atol=2e-3 * ref)
+
+
+def test_fft_correlator_non128_nf():
+    """fs=10e6 (the LIVE preset rate): P = nf = 10000 is 2/5-smooth but
+    NOT divisible by 128 — the einsum FFT-dot path must still build its
+    fractional-lag ramps (regression: _frac_ramp hardcoded K=128 and
+    crashed on every default-rate receiver)."""
+    import jax.numpy as jnp
+    fs = 10e6
+    n_epochs = 8
+    sv = synth.SvSignal(prn=5, doppler_hz=900.0, code_phase_chips=300.5)
+    iq = synth.synth_baseband([sv], fs, n_epochs * 10000, noise_std=0.2,
+                              seed=11)
+    state = tc.start_channel(tc.init_state(1), 0, 900.0, 300.5)
+    tables = jnp.asarray(tc.channel_code_tables([5], 1))
+    spec, nf = tc.code_spectra([5], 1, fs)
+    assert nf == 10000 and nf % 128 != 0
+    gains = (tc.second_order_gains(18.0, t_s=4e-3),
+             tc.second_order_gains(2.0, t_s=4e-3))
+    _, out = tc.track_epochs(jnp.asarray(iq), state, tables, fs=fs,
+                             pll_gains=gains[0], dll_gains=gains[1],
+                             epochs_per_step=4, code_ffts=spec,
+                             use_pallas=False)
+    ip = np.asarray(out.ip)[:, 0]
+    assert np.isfinite(ip).all()
+    # locked onto the synthetic SV: prompt power far above the noise
+    assert np.abs(ip[-4:]).mean() > 5.0 * 0.2 * np.sqrt(10000) / np.sqrt(2)
+
+
+def test_pallas_correlator_odd_n1():
+    """nf = 12500 factors as (n1, n2) = (125, 100) with ODD n1: the
+    kernel's signed-frequency boundary cuts a column mid-way (regression:
+    whole column n1//2 was treated as upper-half, corrupting the prompt
+    ramp phases for half its bins)."""
+    import jax.numpy as jnp
+    from tpu_gnss.ops.mxu_corr import split_nf
+    fs = 12.5e6
+    assert split_nf(12500) == (125, 100)
+    n_epochs = 8
+    svs = [synth.SvSignal(prn=3, doppler_hz=-1500.0,
+                          code_phase_chips=77.25)]
+    iq = synth.synth_baseband(svs, fs, n_epochs * 12500, noise_std=0.2,
+                              seed=12)
+    state = tc.start_channel(tc.init_state(1), 0, -1500.0, 77.25)
+    tables = jnp.asarray(tc.channel_code_tables([3], 1))
+    spec, nf = tc.code_spectra([3], 1, fs)
+    assert nf == 12500
+    gains = (tc.second_order_gains(18.0, t_s=4e-3),
+             tc.second_order_gains(2.0, t_s=4e-3))
+    _, out_x = tc.track_epochs(jnp.asarray(iq), state, tables, fs=fs,
+                               pll_gains=gains[0], dll_gains=gains[1],
+                               epochs_per_step=4, code_ffts=spec,
+                               use_pallas=False)
+    _, out_p = tc.track_epochs(jnp.asarray(iq), state, tables, fs=fs,
+                               pll_gains=gains[0], dll_gains=gains[1],
+                               epochs_per_step=4, code_ffts=spec,
+                               use_pallas=True)
+    ref = np.abs(np.asarray(out_x.ip)).max()
+    np.testing.assert_allclose(np.asarray(out_p.ip), np.asarray(out_x.ip),
+                               atol=4e-3 * ref)
+    np.testing.assert_allclose(np.asarray(out_p.qp), np.asarray(out_x.qp),
+                               atol=4e-3 * ref)
+
+
+def test_track_corr_odd_n1_ramp_cells():
+    """Direct kernel-vs-numpy check of the prompt ramp at odd n1 with a
+    worst-case fractional lag (tau % 1 = 0.5 flips the upper-half
+    phasor): the 50 boundary-column cells at k2 >= n2//2 must use
+    k_eff = k - NF.  Catches the whole-column misclassification the
+    end-to-end loop test is too coarse to see (~13% cp error)."""
+    import jax.numpy as jnp
+    from tpu_gnss.ops import mxu_track as mt
+    from tpu_gnss.ops.mxu_corr import split_nf
+    nf = period = 12500
+    n1, n2 = split_nf(nf)
+    assert n1 % 2 == 1
+    u_rows = mt.track_tables(nf, period, 0.0)[0]
+    assert u_rows * n1 == nf
+    rng = np.random.default_rng(5)
+    y = rng.standard_normal(nf) + 1j * rng.standard_normal(nf)
+    spec = rng.standard_normal((1, nf)) + 1j * rng.standard_normal((1, nf))
+    tau = 431.5
+    # exact reference: cp = sum_k spec[k] * FFT(y)[k] * e^{-j2pi keff tau/nf} / nf
+    k = np.arange(nf)
+    keff = np.where(k >= nf // 2, k - nf, k)
+    g = np.fft.fft(y)
+    cp_ref = np.sum(spec[0] * g * np.exp(-2j * np.pi * keff * tau / nf)) / nf
+
+    blk = y.reshape(u_rows, n1)   # row-major: time n = n1*u + v at [u, v]
+    blk_tr = jnp.asarray(blk.T.real, jnp.float32)[None]
+    blk_ti = jnp.asarray(blk.T.imag, jnp.float32)[None]
+    n_pad = mt.pad_channels(1)
+    cw_r, cw_i = mt.spec_planes(jnp.asarray(spec), nf, n_pad)
+    params = np.zeros((1, n_pad, 128), np.float32)
+    params[0, 0, 2] = tau          # phase0 = delta = 0: no carrier wipe
+    out = np.asarray(mt.track_corr(blk_tr, blk_ti, jnp.asarray(params),
+                                   cw_r, cw_i, period=period, nf=nf,
+                                   interpret=True))
+    cp = complex(out[0, 0, 0], out[0, 0, 1])
+    assert abs(cp - cp_ref) < 0.05 * abs(cp_ref), (cp, cp_ref)

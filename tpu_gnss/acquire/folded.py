@@ -606,7 +606,10 @@ class FoldedSearcher:
         for d in dets:
             i = int(np.argmin(np.abs(window - d["doppler_hz"])))
             sl = slice(max(i - 2, 0), i + 3)
-            ref = refine_peak(pwr[:, sl, :], window[sl], d["sv"])
+            # grid rows are ordered by cfg.prns, NOT by sv number —
+            # d["sv"] (= prn-1) is only the row for the all-32 config
+            row = self.cfg.prns.index(d["prn"])
+            ref = refine_peak(pwr[:, sl, :], window[sl], row)
             out.append(dict(prn=d["prn"], sv=d["sv"], snr=ref["snr"],
                             doppler_hz=ref["doppler_hz"],
                             ca_shift=ref["ca_shift"],

@@ -136,22 +136,18 @@ def _doppler_bins(cfg: ReceiverConfig) -> np.ndarray:
     return np.arange(-m, m + 1, dtype=np.int32)
 
 
-@functools.partial(jax.jit, static_argnames=("lags", "dop_chunk"))
-def acquire_from_fft(data_fft: jnp.ndarray, code_ffts: jnp.ndarray,
-                     dops: jnp.ndarray, *, lags: int,
-                     dop_chunk: int = 16) -> AcqResult:
-    """Search the full (SV x Doppler) grid for one data block.
+def _best_over_grid(prod_fn, n_rows: int, dops: jnp.ndarray, *, lags: int,
+                    dop_chunk: int) -> AcqResult:
+    """Shared Doppler-grid scan: running best (SNR, dop, lag) per row.
 
-    Args:
-      data_fft: ``[fft_len]`` complex64 forward FFT of the mixed block.
-      code_ffts: ``[n_sv, fft_len]`` complex64 replica spectra.
-      dops: ``[n_dop]`` int32 Doppler bin shifts, scanned in order
-        (ties keep the earliest, matching the reference's ``>`` compare).
-      lags: code-phase lags scored = floor(fs/1000).
-      dop_chunk: Doppler bins per scan step (memory knob).
+    ``prod_fn(dop_c) -> [n_rows, chunk, N]`` builds the conjugated
+    spectrum products for one chunk of Doppler bins; everything after —
+    inverse FFT, the peak/avg SNR statistic over ``lags``, the
+    first-max-wins tie-break and the ``>``-compare running best
+    (reference: c/search_offline.cpp:169-201) — is identical for the
+    full-grid and the paired engines and lives only here.
     """
     n_dop = dops.shape[0]
-    n_sv = code_ffts.shape[0]
     pad = (-n_dop) % dop_chunk
     # Padded bins replay the last real bin; their results are masked off.
     dops_p = jnp.concatenate([dops, jnp.broadcast_to(dops[-1], (pad,))])
@@ -159,16 +155,12 @@ def acquire_from_fft(data_fft: jnp.ndarray, code_ffts: jnp.ndarray,
     chunks = dops_p.reshape(-1, dop_chunk)
     vchunks = valid.reshape(-1, dop_chunk)
 
-    conj_d = jnp.conj(data_fft)
-
     def step(carry, inp):
         best_snr, best_dop, best_lag = carry
         dop_c, valid_c = inp
-        # [chunk, N] data spectrum rolled by -dop
-        dshift = jax.vmap(lambda d: jnp.roll(conj_d, -d))(dop_c)
-        prod = code_ffts[:, None, :] * dshift[None, :, :]
+        prod = prod_fn(dop_c)                      # [n_rows, chunk, N]
         corr = jnp.fft.ifft(prod, axis=-1)[..., :lags]
-        pwr = corr.real**2 + corr.imag**2          # [n_sv, chunk, lags]
+        pwr = corr.real**2 + corr.imag**2          # [n_rows, chunk, lags]
         max_pwr = pwr.max(axis=-1)
         max_lag = pwr.argmax(axis=-1).astype(jnp.int32)
         avg_pwr = pwr.sum(axis=-1) / lags
@@ -183,11 +175,36 @@ def acquire_from_fft(data_fft: jnp.ndarray, code_ffts: jnp.ndarray,
                 jnp.where(upd, c_dop, best_dop),
                 jnp.where(upd, c_lag, best_lag)), None
 
-    init = (jnp.full((n_sv,), -jnp.inf, jnp.float32),
-            jnp.zeros((n_sv,), jnp.int32),
-            jnp.zeros((n_sv,), jnp.int32))
+    init = (jnp.full((n_rows,), -jnp.inf, jnp.float32),
+            jnp.zeros((n_rows,), jnp.int32),
+            jnp.zeros((n_rows,), jnp.int32))
     (snr, dop, lag), _ = jax.lax.scan(step, init, (chunks, vchunks))
     return AcqResult(snr, dop, lag)
+
+
+@functools.partial(jax.jit, static_argnames=("lags", "dop_chunk"))
+def acquire_from_fft(data_fft: jnp.ndarray, code_ffts: jnp.ndarray,
+                     dops: jnp.ndarray, *, lags: int,
+                     dop_chunk: int = 16) -> AcqResult:
+    """Search the full (SV x Doppler) grid for one data block.
+
+    Args:
+      data_fft: ``[fft_len]`` complex64 forward FFT of the mixed block.
+      code_ffts: ``[n_sv, fft_len]`` complex64 replica spectra.
+      dops: ``[n_dop]`` int32 Doppler bin shifts, scanned in order
+        (ties keep the earliest, matching the reference's ``>`` compare).
+      lags: code-phase lags scored = floor(fs/1000).
+      dop_chunk: Doppler bins per scan step (memory knob).
+    """
+    conj_d = jnp.conj(data_fft)
+
+    def prod_fn(dop_c):
+        # [chunk, N] data spectrum rolled by -dop
+        dshift = jax.vmap(lambda d: jnp.roll(conj_d, -d))(dop_c)
+        return code_ffts[:, None, :] * dshift[None, :, :]
+
+    return _best_over_grid(prod_fn, code_ffts.shape[0], dops,
+                           lags=lags, dop_chunk=dop_chunk)
 
 
 @functools.partial(jax.jit, static_argnames=("lo_rate", "lags", "dop_chunk", "variant"))
@@ -215,42 +232,16 @@ def acquire_paired(data_ffts: jnp.ndarray, code_ffts: jnp.ndarray,
 
     Args: ``data_ffts``/``code_ffts`` are ``[B, fft_len]`` complex64.
     """
-    n_dop = dops.shape[0]
-    pad = (-n_dop) % dop_chunk
-    dops_p = jnp.concatenate([dops, jnp.broadcast_to(dops[-1], (pad,))])
-    valid = jnp.concatenate([jnp.ones(n_dop, bool), jnp.zeros(pad, bool)])
-    chunks = dops_p.reshape(-1, dop_chunk)
-    vchunks = valid.reshape(-1, dop_chunk)
     conj_d = jnp.conj(data_ffts)                       # [B, N]
-    n_b = data_ffts.shape[0]
 
-    def step(carry, inp):
-        best_snr, best_dop, best_lag = carry
-        dop_c, valid_c = inp
+    def prod_fn(dop_c):
         # [B, chunk, N]: per-pair data spectrum rolled by -dop
         dshift = jax.vmap(lambda d: jnp.roll(conj_d, -d, axis=-1),
                           out_axes=1)(dop_c)
-        prod = code_ffts[:, None, :] * dshift
-        corr = jnp.fft.ifft(prod, axis=-1)[..., :lags]
-        pwr = corr.real**2 + corr.imag**2
-        max_pwr = pwr.max(axis=-1)
-        max_lag = pwr.argmax(axis=-1).astype(jnp.int32)
-        avg_pwr = pwr.sum(axis=-1) / lags
-        snr = jnp.where(valid_c[None, :], max_pwr / avg_pwr, -jnp.inf)
-        c_arg = snr.argmax(axis=-1)
-        c_snr = jnp.take_along_axis(snr, c_arg[:, None], 1)[:, 0]
-        c_dop = dop_c[c_arg]
-        c_lag = jnp.take_along_axis(max_lag, c_arg[:, None], 1)[:, 0]
-        upd = c_snr > best_snr
-        return (jnp.where(upd, c_snr, best_snr),
-                jnp.where(upd, c_dop, best_dop),
-                jnp.where(upd, c_lag, best_lag)), None
+        return code_ffts[:, None, :] * dshift
 
-    init = (jnp.full((n_b,), -jnp.inf, jnp.float32),
-            jnp.zeros((n_b,), jnp.int32),
-            jnp.zeros((n_b,), jnp.int32))
-    (snr, dop, lag), _ = jax.lax.scan(step, init, (chunks, vchunks))
-    return AcqResult(snr, dop, lag)
+    return _best_over_grid(prod_fn, data_ffts.shape[0], dops,
+                           lags=lags, dop_chunk=dop_chunk)
 
 
 @functools.partial(jax.jit, static_argnames=("lags",))

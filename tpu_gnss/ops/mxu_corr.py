@@ -90,15 +90,24 @@ def idft_tables(nf: int) -> tuple:
             e2.real.astype(jnp.bfloat16), e2.imag.astype(jnp.bfloat16))
 
 
-def wrap_code_planes(code_ffts_p: np.ndarray, period: int
-                     ) -> tuple[np.ndarray, np.ndarray]:
-    """Code spectra -> (real, imag) bf16 planes with the circular wrap
-    folded in: ``C[k] * (1 + e^{-j2πkP/NF})`` (no-op when NF == P)."""
-    c = np.asarray(code_ffts_p)
-    n_sv, nf = c.shape
+def wrap_spectrum(c: np.ndarray, period: int) -> np.ndarray:
+    """Fold the circular wrap of the padded linear correlation into a
+    spectrum: ``C[k] * (1 + e^{-j2πkP/NF})`` (no-op when NF == P).
+    Shared by both kernel code-plane builders so the wrap convention
+    cannot diverge between the v1 and v2 kernels."""
+    nf = c.shape[-1]
     if nf != period:
         k = np.arange(nf)
         c = c * (1.0 + np.exp(-2j * np.pi * k * (period / nf)))
+    return c
+
+
+def wrap_code_planes(code_ffts_p: np.ndarray, period: int
+                     ) -> tuple[np.ndarray, np.ndarray]:
+    """Code spectra -> (real, imag) bf16 planes with the circular wrap
+    folded in (:func:`wrap_spectrum`)."""
+    c = wrap_spectrum(np.asarray(code_ffts_p), period)
+    n_sv, nf = c.shape
     n1, n2 = split_nf(nf)
     cr = c.real.astype(jnp.bfloat16).reshape(n_sv, n1, n2)
     ci = c.imag.astype(jnp.bfloat16).reshape(n_sv, n1, n2)
@@ -224,11 +233,8 @@ def fold_code_planes_T(code_ffts_p: np.ndarray, period: int
     """Wrapped code spectra in the stacked-transposed layout of
     :func:`fold_corr_reduce`: ``[n_sv*n2, n1]`` bf16 planes where row
     ``sv*n2 + k2`` column ``k1`` holds spectrum bin ``k1*n2 + k2``."""
-    c = np.asarray(code_ffts_p)
+    c = wrap_spectrum(np.asarray(code_ffts_p), period)
     n_sv, nf = c.shape
-    if nf != period:
-        k = np.arange(nf)
-        c = c * (1.0 + np.exp(-2j * np.pi * k * (period / nf)))
     n1, n2 = split_nf(nf)
     cT = c.reshape(n_sv, n1, n2).transpose(0, 2, 1).reshape(n_sv * n2, n1)
     return (cT.real.astype(jnp.bfloat16), cT.imag.astype(jnp.bfloat16))

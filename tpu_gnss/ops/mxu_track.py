@@ -122,7 +122,11 @@ def _kernel_factory(n_pad: int, n1: int, n2: int, u_rows: int, nf: int):
         vi = jax.lax.broadcasted_iota(jnp.int32, (1, n1), 1).astype(f32)
         k1i = jax.lax.broadcasted_iota(jnp.int32, (1, n1), 1).astype(f32)
         k2i = jax.lax.broadcasted_iota(jnp.int32, (1, n2), 1).astype(f32)
-        upper = k1i >= (n1 // 2)
+        # signed-frequency upper half is k = k1*n2 + k2 >= nf//2.  For
+        # even n1 that is exactly the columns k1 >= n1//2; for odd n1
+        # the boundary cuts column n1//2 at k2 = n2//2 — those cells get
+        # the e^{+j2πτ} correction separately below.
+        upper = (k1i > (n1 // 2)) if n1 % 2 else (k1i >= (n1 // 2))
 
         tile = lambda a: jnp.broadcast_to(
             a[None], (g_sz,) + a.shape).reshape(g_sz * a.shape[0],
@@ -175,6 +179,20 @@ def _kernel_factory(n_pad: int, n1: int, n2: int, u_rows: int, nf: int):
             c1, s1 = jnp.cos(a1), jnp.sin(a1)
             c2, s2 = jnp.cos(a2), jnp.sin(a2)
             rmr, rmi = outer_c(c2, s2, c1, s1)         # [g_sz*n2, n1]
+            if n1 % 2:
+                # odd n1: apply the upper-half phasor to the cells of
+                # boundary column k1 = n1//2 with k2 >= n2//2
+                at = two_pi * (tau % 1.0)              # [g_sz, 1]
+                ur = jnp.broadcast_to(jnp.cos(at)[:, :, None],
+                                      (g_sz, n2, 1)).reshape(g_sz * n2, 1)
+                ui_ = jnp.broadcast_to(jnp.sin(at)[:, :, None],
+                                       (g_sz, n2, 1)).reshape(g_sz * n2, 1)
+                col = jax.lax.broadcasted_iota(jnp.int32, (g_sz, n2, n1), 2)
+                rowk = jax.lax.broadcasted_iota(jnp.int32, (g_sz, n2, n1), 1)
+                bnd = ((col == n1 // 2) & (rowk >= n2 // 2)).reshape(
+                    g_sz * n2, n1)
+                rmr, rmi = (jnp.where(bnd, rmr * ur - rmi * ui_, rmr),
+                            jnp.where(bnd, rmr * ui_ + rmi * ur, rmi))
             wr = pr * rmr - pi_ * rmi
             wi = pr * rmi + pi_ * rmr
 

@@ -28,6 +28,8 @@ def raised_cosine_fir(oversample: int, rolloff: float = 0.5,
     t = np.arange(-delay_chips * oversample, delay_chips * oversample + 1,
                   dtype=np.float64) / oversample
     h = np.sinc(t) * np.cos(np.pi * rolloff * t)
+    if rolloff == 0.0:
+        return h  # pure sinc: den = 1 everywhere, no singularity
     den = 1.0 - (2.0 * rolloff * t) ** 2
     # L'Hopital at the rolloff singularity |t| = 1/(2R)
     sing = np.isclose(den, 0.0)

@@ -502,6 +502,20 @@ def code_spectra(prns, n_chan: int, fs: float) -> tuple[jnp.ndarray, int]:
     return build(jnp.asarray(reps)), nf
 
 
+def _ramp_split(nf: int) -> int:
+    """Inner factor K for :func:`_frac_ramp`'s phase split.
+
+    K must divide NF (the outer product reshapes to [rows, NF]) and
+    NF//2 (so the signed-frequency boundary falls exactly between outer
+    blocks).  Largest such K <= 128; pow2 NF gets 128, NF=10000 gets
+    125, degenerate NF fall back toward 1 (correct, just more trig).
+    """
+    for k in range(min(128, nf), 0, -1):
+        if nf % k == 0 and (nf // 2) % k == 0:
+            return k
+    return 1
+
+
 def _frac_ramp(tau: jnp.ndarray, nf: int) -> jnp.ndarray:
     """``e^{-j2πk_eff τ/NF}`` with SIGNED frequencies — [rows, NF].
 
@@ -511,7 +525,7 @@ def _frac_ramp(tau: jnp.ndarray, nf: int) -> jnp.ndarray:
     half correction is a single ``e^{+j2πτ}`` factor.  Trig cost is
     K + NF/K per row via the phase split.
     """
-    K = 128
+    K = _ramp_split(nf)
     k1 = jnp.arange(K, dtype=jnp.float32)
     k2 = jnp.arange(nf // K, dtype=jnp.float32) * K
     a1 = -2.0 * jnp.pi * k1[None, :] * tau[:, None] / nf
