@@ -101,6 +101,11 @@ def test_full_chain_position_fix(scene):
     decoded = [r for r in result.channels if r.eph.valid()]
     assert len(decoded) >= 4, f"only {len(decoded)} ephemerides decoded"
     assert result.solutions, "no PVT fix produced"
+    # periodic 4 s cadence must produce fixes THROUGHOUT the capture,
+    # not just at the end (regression: solve anchored on the capture's
+    # final subframe skipped every earlier snapshot)
+    assert len(result.solutions) >= 4, (
+        f"only {len(result.solutions)} fixes from a 20 s capture")
     sol = result.solutions[-1]
     err = np.linalg.norm(np.array([sol.x, sol.y, sol.z]) - np.array(rx))
     assert err < 100.0, f"position error {err:.1f} m"

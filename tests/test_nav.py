@@ -164,3 +164,12 @@ def test_iono_wrong_page_ignored():
     data[2 * 24 + 4] ^= 1  # flip an sv-id bit (word 3 bit 5)
     got.ingest(data)
     assert got.alpha == (0.0, 0.0, 0.0, 0.0)
+
+
+def test_eccentric_anomaly_invalid_ephemeris_raises():
+    """Empty ephemeris (sqrt_a=0) must raise, not hang forever."""
+    from tpu_gnss.nav.ephemeris import Ephemeris
+    with pytest.raises(ValueError, match="Kepler"):
+        Ephemeris().get_xyz(0.0)
+    with pytest.raises(ValueError, match="Kepler"):
+        Ephemeris().clock_correction(float("nan"))

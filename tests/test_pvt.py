@@ -172,3 +172,11 @@ def test_iono_correction_improves_fix():
     err_corr = np.linalg.norm(np.array([corr.x, corr.y, corr.z]) - rx)
     assert err_corr < err_plain
     assert err_corr < 3.0, f"corrected error {err_corr:.2f} m"
+
+
+def test_lat_lon_alt_antimeridian():
+    """lon at (x<0, y=0) is 180 deg, not 0 (half-angle atan2 quirk)."""
+    from tpu_gnss.pvt.solve import lat_lon_alt, WGS84_A
+    lat, lon, alt = lat_lon_alt(-WGS84_A, 0.0, 0.0)
+    assert abs(np.degrees(lon)) == pytest.approx(180.0, abs=1e-9)
+    assert abs(np.degrees(lat)) < 1e-6 and abs(alt) < 1e-3

@@ -1,6 +1,7 @@
 """Streaming source / prefetcher tests."""
 
 import numpy as np
+import pytest
 
 from tpu_gnss.config import ReceiverConfig, SYNTHETIC
 from tpu_gnss.io import loaders, stream
@@ -117,3 +118,34 @@ def test_reacquisition_after_signal_loss():
     assert re.start_epoch > 3000
     ip = np.asarray(re.ip_hist[-100:])
     assert np.abs(ip).mean() > 0.4 * 2048, "re-acquired channel must track"
+
+
+def test_prefetcher_propagates_reader_errors(tmp_path):
+    """A reader exception must surface to the consumer, not masquerade
+    as a clean EOF (regression: try/finally swallowed it)."""
+    from tpu_gnss.io.stream import Prefetcher
+
+    class Boom:
+        def blocks(self, n):
+            yield np.zeros(n, np.complex64)
+            raise OSError("disk died")
+
+    it = iter(Prefetcher(Boom(), 64))
+    next(it)
+    with pytest.raises(OSError, match="disk died"):
+        next(it)
+
+
+def test_1bit_source_continuous_phase_matches_oneshot(tmp_path):
+    """Phase-continuous streaming mix == mixing the whole capture once."""
+    from tpu_gnss.config import SYNTHETIC
+    from tpu_gnss.io import loaders
+    from tpu_gnss.io.stream import FileSource1Bit
+    rng = np.random.default_rng(0)
+    bits = rng.integers(0, 2, 4096, dtype=np.uint8)
+    path = tmp_path / "cap.bin"
+    path.write_bytes(np.packbits(bits, bitorder="little").tobytes())
+    full = loaders.mix_1bit_block(bits, SYNTHETIC)
+    src = FileSource1Bit(str(path), SYNTHETIC, per_block_phase=False)
+    got = np.concatenate(list(src.blocks(1024)))
+    np.testing.assert_array_equal(got, full)

@@ -129,13 +129,16 @@ class NmeaState:
         if len(p) < 10:
             return False
         self.time_utc = p[1] or self.time_utc
-        self.lat = _latlon(p[2], p[3])
-        self.lon = _latlon(p[4], p[5])
+        lat = _latlon(p[2], p[3])
+        lon = _latlon(p[4], p[5])
         self.fix_quality = int(p[6] or 0)
         self.n_sats_used = int(p[7] or 0)
         self.hdop = _f(p[8])
-        self.alt = _f(p[9])
-        if self.lat is not None and self.lon is not None:
+        if lat is not None and lon is not None:
+            # a no-fix GGA (empty position fields) keeps the last known
+            # position, like the reference monitors do
+            self.lat, self.lon = lat, lon
+            self.alt = _f(p[9])
             self.fixes.append((self.time_utc, self.lat, self.lon, self.alt))
         return True
 
@@ -179,14 +182,18 @@ class NmeaState:
         sp = _f(p[7])
         if sp is not None:
             self.speed_kmh = sp * 1.852
-        self.course_deg = _f(p[8])
+        c = _f(p[8])
+        if c is not None:
+            self.course_deg = c
         self.date = p[9] or self.date
         return True
 
     def _vtg(self, p) -> bool:
         if len(p) < 8:
             return False
-        self.course_deg = _f(p[1]) or self.course_deg
+        c = _f(p[1])
+        if c is not None:   # 0.0 (due north) is a valid course
+            self.course_deg = c
         k = _f(p[7])
         if k is not None:
             self.speed_kmh = k

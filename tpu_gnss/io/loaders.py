@@ -83,30 +83,32 @@ LO_TABLES = {
 }
 
 
-def lo_phase_index(n_samples: int, lo_rate: float) -> np.ndarray:
+def lo_phase_index(n_samples: int, lo_rate: float,
+                   sample0: int = 0) -> np.ndarray:
     """Quarter-cycle phase index per sample: ``floor((i*lo_rate) mod 4)``.
 
     Exact-arithmetic equivalent of the reference's accumulate-and-wrap float
-    NCO (reference: c/search_offline.cpp:127,155-156).  Phase starts at 0,
-    i.e. this is per *block* when the stream is processed blockwise.
+    NCO (reference: c/search_offline.cpp:127,155-156).  Phase starts at
+    absolute sample ``sample0``: 0 per *block* (each reference ``Sample()``
+    call restarts the LO) or a running offset for phase-continuous streams.
     """
-    i = np.arange(n_samples, dtype=np.float64)
+    i = np.arange(sample0, sample0 + n_samples, dtype=np.float64)
     return np.floor((i * lo_rate) % 4.0).astype(np.int64)
 
 
 def mix_1bit_block(bits: np.ndarray, cfg: ReceiverConfig,
-                   variant: str = "offline") -> np.ndarray:
+                   variant: str = "offline", sample0: int = 0) -> np.ndarray:
     """Downconvert a block of {0,1} IF samples to complex baseband.
 
     XOR mixing with quadrature square-wave LOs, bipolar mapping bit 1 -> −1:
     ``I = ±1 * (−1)^lo_i[p]``, ``Q = ±1 * (−1)^lo_q[p]``
-    (reference: c/search_offline.cpp:150-156).  The LO phase restarts at 0
-    at the block start, as each reference ``Sample()`` call does.
+    (reference: c/search_offline.cpp:150-156).  ``sample0`` as in
+    :func:`lo_phase_index`.
 
     Returns complex64 ``[len(bits)]``.
     """
     i_tbl, q_tbl = LO_TABLES[variant]
-    p = lo_phase_index(len(bits), cfg.lo_rate)
+    p = lo_phase_index(len(bits), cfg.lo_rate, sample0)
     s = 1.0 - 2.0 * np.asarray(bits, dtype=np.float32)
     i_sign = 1.0 - 2.0 * np.asarray(i_tbl, dtype=np.float32)[p]
     q_sign = 1.0 - 2.0 * np.asarray(q_tbl, dtype=np.float32)[p]

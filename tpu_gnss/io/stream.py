@@ -71,7 +71,6 @@ class FileSource1Bit(SampleSource):
 
     def blocks(self, block_len: int) -> Iterator[np.ndarray]:
         assert block_len % 8 == 0
-        i_tbl, q_tbl = loaders.LO_TABLES["offline"]
         sample0 = 0
         with open(self.path, "rb") as f:
             while True:
@@ -79,16 +78,11 @@ class FileSource1Bit(SampleSource):
                 if len(raw) < block_len // 8:
                     return
                 bits = loaders.unpack_1bit(raw)
-                if self.per_block_phase:
-                    p = loaders.lo_phase_index(block_len, self.cfg.lo_rate)
-                else:
-                    i = np.arange(sample0, sample0 + block_len,
-                                  dtype=np.float64)
-                    p = np.floor((i * self.cfg.lo_rate) % 4.0).astype(np.int64)
-                s = 1.0 - 2.0 * bits.astype(np.float32)
-                i_sign = 1.0 - 2.0 * np.asarray(i_tbl, np.float32)[p]
-                q_sign = 1.0 - 2.0 * np.asarray(q_tbl, np.float32)[p]
-                yield (s * i_sign + 1j * (s * q_sign)).astype(np.complex64)
+                # one source of truth for the front-end mix (loaders);
+                # phase restarts per block or runs continuously
+                yield loaders.mix_1bit_block(
+                    bits, self.cfg,
+                    sample0=0 if self.per_block_phase else sample0)
                 sample0 += block_len
 
 
@@ -175,6 +169,8 @@ class Prefetcher:
                   else self._src.blocks(self._block_len))
             for blk in it:
                 self._q.put(blk)
+        except BaseException as exc:  # re-raised in the consumer
+            self._err = exc
         finally:
             self._q.put(None)
 
@@ -182,5 +178,9 @@ class Prefetcher:
         while True:
             blk = self._q.get()
             if blk is None:
+                # a reader failure must not masquerade as a clean EOF
+                err = getattr(self, "_err", None)
+                if err is not None:
+                    raise err
                 return
             yield blk

@@ -188,16 +188,28 @@ class Ephemeris:
     # ------------------------------------------------------------------
     def eccentric_anomaly(self, t_k: float) -> float:
         """Kepler solve by fixed-point iteration to 1e-10
-        (reference: c/ephemeris.cpp:87-110)."""
+        (reference: c/ephemeris.cpp:87-110).
+
+        Bounded iterations: an invalid ephemeris (sqrt_a = 0 before
+        subframe 2, or NaN time) makes the iterate NaN, for which the
+        convergence test is never true — raise instead of hanging.
+        """
         a = self.sqrt_a * self.sqrt_a
+        if not (a > 0.0 and np.isfinite(t_k)):
+            raise ValueError(
+                f"Kepler solve on invalid ephemeris (sqrt_a={self.sqrt_a}, "
+                f"t_k={t_k}); valid()={self.valid()}")
         n = np.sqrt(MU_EARTH / (a * a * a)) + self.dn
         m_k = self.m_0 + n * t_k
         e_k = m_k
-        while True:
+        for _ in range(50):  # GPS e < 0.03 converges in < 10
             prev = e_k
             e_k = m_k + self.e * np.sin(e_k)
             if abs(e_k - prev) < 1e-10:
                 return e_k
+        raise ValueError(
+            f"Kepler iteration did not converge (sqrt_a={self.sqrt_a}, "
+            f"e={self.e}, t_k={t_k}); ephemeris valid()={self.valid()}")
 
     def get_xyz(self, t: float) -> tuple[float, float, float]:
         """ECEF satellite position at GPS time-of-week ``t``

@@ -185,7 +185,7 @@ def lat_lon_alt(x: float, y: float, z: float) -> tuple[float, float, float]:
     if p < 1e-6:  # pole: direct solution, the iteration would divide by 0
         return (np.pi / 2 if z >= 0 else -np.pi / 2, 0.0,
                 abs(z) - WGS84_A * np.sqrt(1.0 - WGS84_E2))
-    lon = 2.0 * np.arctan2(y, x + p)
+    lon = np.arctan2(y, x)  # (half-angle form breaks at the antimeridian)
     lat = np.arctan(z / (p * (1.0 - WGS84_E2)))
     alt = 0.0
     for _ in range(100):

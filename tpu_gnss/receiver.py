@@ -165,6 +165,8 @@ class Receiver:
         chunk_ep = max(1, int(chunk_s * 1000))
         iq_host = np.asarray(iq[: n_epochs_total * p])
         e0 = 0
+        n_tracked = 0   # epochs actually produced (track_epochs drops a
+        #                 trailing partial step of the final chunk)
         while e0 < n_epochs_total:
             e1 = min(e0 + chunk_ep, n_epochs_total)
             with METRICS.stage("receiver.transfer"):
@@ -184,6 +186,7 @@ class Receiver:
                     r.ip_hist.extend(ip[:, r.ch].tolist())
                     r.qp_hist.extend(qp[:, r.ch].tolist())
                     r.code_freq_hist.extend(cf[:, r.ch].tolist())
+            n_tracked += ip.shape[0]
             e0 = e1
             self._watchdog(recs, p)
 
@@ -191,12 +194,12 @@ class Receiver:
         for r in recs:
             self._decode_nav(r)
 
-        # --- 5. PVT solves ---------------------------------------------
+        # --- 5. PVT solves (over epochs that really reached tracking) ---
         solutions = []
         step = int(self.solve_interval_s * 1000)
-        snap_epochs = list(range(step, n_epochs_total, step))
-        if n_epochs_total - 2 not in snap_epochs and n_epochs_total > 2:
-            snap_epochs.append(n_epochs_total - 2)
+        snap_epochs = list(range(step, n_tracked, step))
+        if n_tracked - 2 not in snap_epochs and n_tracked > 2:
+            snap_epochs.append(n_tracked - 2)
         for e_snap in snap_epochs:
             sol = self._solve_at(recs, e_snap)
             if sol is not None:
@@ -401,9 +404,12 @@ class Receiver:
         for r in recs:
             if r.lost or len(r.ip_hist) < 2 * win:
                 continue
-            ip = np.asarray(r.ip_hist)
-            ref_pwr = float(np.mean(np.square(ip[win // 2: win])))
-            cur_pwr = float(np.mean(np.square(ip[-win:])))
+            # slice the python lists BEFORE converting: converting the
+            # whole history every chunk is quadratic over a long stream
+            ref = np.asarray(r.ip_hist[win // 2: win])
+            cur = np.asarray(r.ip_hist[-win:])
+            ref_pwr = float(np.mean(np.square(ref)))
+            cur_pwr = float(np.mean(np.square(cur)))
             if ref_pwr > 0 and cur_pwr < self.los_power_ratio * ref_pwr:
                 r.lost = True
 
@@ -442,19 +448,25 @@ class Receiver:
         t_tx, ephs, weights = [], [], []
         for r in recs:
             e_local = e_snap - r.start_epoch  # records may start mid-run
-            if (r.last_tow is None or not r.eph.valid()
-                    or r.last_subframe_bit is None
-                    or e_local >= len(r.ip_hist) or e_local <= 0
-                    or r.last_subframe_bit >= e_local):
+            if (not r.eph.valid()
+                    or e_local >= len(r.ip_hist) or e_local <= 0):
                 continue
+            # anchor on the LATEST decoded subframe preceding this
+            # snapshot (subframes arrive every 6 s; anchoring on the
+            # capture's final subframe would skip every earlier snapshot)
+            anchors = [s for s in r.subframes
+                       if s["tow"] is not None and s["bit_epoch"] < e_local]
+            if not anchors:
+                continue
+            sub = max(anchors, key=lambda s: s["bit_epoch"])
             chips = r.unwrapped_chips(self.cfg.fs)
             a_snap = chips[e_local]
             # chip count at the subframe-start bit edge: nearest code-period
             # boundary on the 20-period bit grid
-            a_bit = chips[r.last_subframe_bit]
+            a_bit = chips[sub["bit_epoch"]]
             n_per = round(a_bit / CODE_LEN_CHIPS)
             # TOW names the start of the NEXT subframe -> this one is tow-1
-            t0 = (r.last_tow - 1) * 6.0
+            t0 = (sub["tow"] - 1) * 6.0
             t = t0 + (a_snap - n_per * CODE_LEN_CHIPS) / CHIP_RATE_HZ
             t_tx.append(t)
             ephs.append(r.eph)

@@ -203,6 +203,12 @@ def save_iq_log(path: str, channels) -> None:
     arrs = {}
     for r in channels:
         tag = f"prn{int(r.prn):02d}"
+        # a lost-and-reacquired PRN yields several records: suffix the
+        # later segments instead of silently overwriting the first
+        seg = 1
+        while f"{tag}_ip" in arrs:
+            seg += 1
+            tag = f"prn{int(r.prn):02d}_seg{seg}"
         arrs[f"{tag}_ip"] = np.asarray(r.ip_hist, dtype=np.float32)
         arrs[f"{tag}_qp"] = np.asarray(r.qp_hist, dtype=np.float32)
         arrs[f"{tag}_code_freq"] = np.asarray(r.code_freq_hist,
