@@ -114,6 +114,11 @@ def test_full_chain_position_fix(scene):
     # (validated implicitly by err; explicit check on lat/lon)
     assert abs(sol.lat_deg - TRUTH_LLA[0]) < 0.01
     assert abs(sol.lon_deg - TRUTH_LLA[1]) < 0.01
+    # Doppler velocity solve: the scene's receiver is static, so the
+    # attached velocity must be ~0 up to PLL jitter
+    assert sol.vel is not None, "velocity not attached to the fix"
+    assert sol.vel.speed_mps < 1.0, f"static scene: {sol.vel.speed_mps} m/s"
+    assert abs(sol.vel.vu) < 2.0
 
 
 def eph_prn(k: int) -> int:

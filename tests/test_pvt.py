@@ -180,3 +180,94 @@ def test_lat_lon_alt_antimeridian():
     lat, lon, alt = lat_lon_alt(-WGS84_A, 0.0, 0.0)
     assert abs(np.degrees(lon)) == pytest.approx(180.0, abs=1e-9)
     assert abs(np.degrees(lat)) < 1e-6 and abs(alt) < 1e-3
+
+
+# ---------------------------------------------------------------------------
+# Doppler velocity solve
+# ---------------------------------------------------------------------------
+
+def doppler_oracle(eph, rx_of_t, t_rx, drift=0.0, h=0.5):
+    """Measured carrier Doppler by numeric differentiation of the SV-clock
+    carrier pseudorange.  Works on ``g(t) = t_sv_raw(t) - t`` (magnitude
+    ~1e-4 s) so float64 quantization of absolute times never enters; the
+    oracle is good to ~1e-5 Hz."""
+    from tpu_gnss.constants import L1_HZ
+
+    def g(t):
+        rx = np.asarray(rx_of_t(t))
+        t_tx = t - 0.075
+        for _ in range(8):
+            svp = np.array(eph.get_xyz(t_tx))
+            th = (t_tx - t) * OMEGA_E
+            ct, st = np.cos(th), np.sin(th)
+            eci = np.array([svp[0] * ct - svp[1] * st,
+                            svp[0] * st + svp[1] * ct, svp[2]])
+            rho = np.linalg.norm(rx - eci)
+            t_tx = t - rho / SPEED_OF_LIGHT
+        gmt = -rho / SPEED_OF_LIGHT
+        for _ in range(4):
+            gmt = -rho / SPEED_OF_LIGHT + eph.clock_correction(t + gmt)
+        return gmt
+
+    gdot = (g(t_rx + h) - g(t_rx - h)) / (2.0 * h)
+    return L1_HZ * ((1.0 + gdot) / (1.0 + drift) - 1.0)
+
+
+def enu_to_ecef_vel(v_enu, lat_deg, lon_deg):
+    lat, lon = np.radians(lat_deg), np.radians(lon_deg)
+    sl, cl = np.sin(lon), np.cos(lon)
+    sp, cp = np.sin(lat), np.cos(lat)
+    e = np.array([-sl, cl, 0.0])
+    n = np.array([-sp * cl, -sp * sl, cp])
+    u = np.array([cp * cl, cp * sl, sp])
+    return v_enu[0] * e + v_enu[1] * n + v_enu[2] * u
+
+
+def test_solve_velocity_recovers_velocity():
+    ephs = make_constellation(6)
+    rx0 = np.array(ps.geodetic_to_ecef(*TRUTH_LLA))
+    v_enu = np.array([12.0, -5.0, 1.5])
+    v_ecef = enu_to_ecef_vel(v_enu, TRUTH_LLA[0], TRUTH_LLA[1])
+    drift = 5e-8  # 50 ns/s receiver clock drift (typical TCXO)
+    rx_of_t = lambda t: rx0 + v_ecef * (t - T_RX)
+    dops = np.array([doppler_oracle(e, rx_of_t, T_RX, drift)
+                     for e in ephs])
+    t_tx = gen_measurements(ephs, rx0, T_RX)
+    vel = ps.solve_velocity(rx0, T_RX, t_tx, ephs, dops)
+    got = np.array([vel.vx, vel.vy, vel.vz])
+    err = np.linalg.norm(got - v_ecef)
+    assert err < 0.02, f"velocity error {err * 100:.2f} cm/s"
+    assert abs(vel.ve - v_enu[0]) < 0.02
+    assert abs(vel.vn - v_enu[1]) < 0.02
+    assert abs(vel.vu - v_enu[2]) < 0.02
+    assert vel.speed_mps == pytest.approx(np.hypot(12.0, -5.0), abs=0.02)
+    truth_course = np.degrees(np.arctan2(12.0, -5.0)) % 360.0
+    assert vel.course_deg == pytest.approx(truth_course, abs=0.2)
+    assert vel.clk_drift == pytest.approx(drift, abs=2e-11)
+
+
+def test_solve_velocity_static_receiver():
+    ephs = make_constellation(5)
+    rx0 = np.array(ps.geodetic_to_ecef(*TRUTH_LLA))
+    dops = np.array([doppler_oracle(e, lambda t: rx0, T_RX)
+                     for e in ephs])
+    # sanity: geometry produces real Doppler, not all ~0
+    assert np.max(np.abs(dops)) > 100.0
+    t_tx = gen_measurements(ephs, rx0, T_RX)
+    vel = ps.solve_velocity(rx0, T_RX, t_tx, ephs, dops)
+    assert np.linalg.norm([vel.vx, vel.vy, vel.vz]) < 0.01
+    assert vel.speed_mps < 0.01
+    assert abs(vel.clk_drift) < 1e-11
+
+
+def test_sv_velocity_matches_position_derivative():
+    """get_velocity against an independent 7-point stencil at h=8 s."""
+    eph = make_constellation(1)[0]
+    t = T_RX
+    v = np.array(eph.get_velocity(t))
+    h = 8.0
+    c7 = np.array([-1.0, 9.0, -45.0, 0.0, 45.0, -9.0, 1.0]) / (60.0 * h)
+    p = np.array([eph.get_xyz(t + k * h) for k in range(-3, 4)])
+    v_ref = c7 @ p
+    assert np.linalg.norm(v - v_ref) < 1e-4
+    assert 2000.0 < np.linalg.norm(v) < 5000.0  # GPS orbital speed range

@@ -245,6 +245,33 @@ class Ephemeris:
         return (self.a_f0 + self.a_f1 * dt + self.a_f2 * dt * dt
                 + t_r - self.t_gd)
 
+    def get_velocity(self, t: float) -> tuple[float, float, float]:
+        """ECEF satellite velocity (m/s) at GPS time-of-week ``t``.
+
+        Beyond the reference (its solver never computes velocity); feeds
+        the Doppler velocity solve (pvt.solve.solve_velocity).  Uses a
+        5-point central difference of :meth:`get_xyz` — for a Kepler orbit
+        (|f⁽⁵⁾| ≈ r·n⁵ ≈ 2e-12 m/s⁵) the truncation error at h=1 s is
+        ~1e-13 m/s and float64 rounding on a 2.7e7 m position contributes
+        ~1e-8 m/s, both far below the mm/s solver noise floor.
+        """
+        h = 1.0
+        p = np.array([self.get_xyz(t + k * h) for k in (-2, -1, 1, 2)])
+        v = (p[0] - 8.0 * p[1] + 8.0 * p[2] - p[3]) / (12.0 * h)
+        return float(v[0]), float(v[1]), float(v[2])
+
+    def clock_drift(self, t: float) -> float:
+        """SV clock error rate d/dt clock_correction (s/s) at time ``t``.
+
+        Same 5-point stencil; the constant t_gd cancels and the dominant
+        terms are a_f1 (~1e-11 s/s) and the relativistic rate
+        (F·e·√A·cos(E_k)·Ė_k, up to ~3e-12 s/s).
+        """
+        h = 1.0
+        c = np.array([self.clock_correction(t + k * h)
+                      for k in (-2, -1, 1, 2)])
+        return float((c[0] - 8.0 * c[1] + 8.0 * c[2] - c[3]) / (12.0 * h))
+
 
 # ---------------------------------------------------------------------------
 # Encoder (test-fixture factory: the reference has no equivalent)

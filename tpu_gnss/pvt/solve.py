@@ -17,8 +17,8 @@ from typing import Optional, Sequence
 
 import numpy as np
 
-from ..constants import (NAV_BPS, CHIP_RATE_HZ, OMEGA_E, SPEED_OF_LIGHT,
-                         WGS84_A, WGS84_E2)
+from ..constants import (NAV_BPS, CHIP_RATE_HZ, L1_HZ, OMEGA_E,
+                         SPEED_OF_LIGHT, WGS84_A, WGS84_E2)
 from ..nav.ephemeris import Ephemeris
 from ..signal import cacode
 
@@ -68,6 +68,7 @@ class Solution:
     lon_deg: float = 0.0
     alt_m: float = 0.0
     n_sats: int = 0
+    vel: Optional["VelocitySolution"] = None  # attached when Doppler known
 
 
 def solve_position(t_tx: np.ndarray, ephs: Sequence[Ephemeris],
@@ -177,6 +178,107 @@ def solve_snapshots(snaps: Sequence[Snapshot],
     w = np.array([s.power for s in good])
     sol = solve_position(t_tx, [s.eph for s in good], w, x0=x0)
     return sol if sol.converged else None
+
+
+@dataclasses.dataclass
+class VelocitySolution:
+    """Doppler-based receiver velocity + clock drift.
+
+    The reference never computes velocity (its NMEA monitors only display
+    VTG sentences from commercial receivers, python/plot_nmea*.py); this
+    closes the loop: carrier Doppler from the tracking bank -> ECEF
+    velocity -> ENU speed / course over ground (the VTG quantities).
+    """
+    vx: float                # ECEF velocity (m/s)
+    vy: float
+    vz: float
+    clk_drift: float         # receiver clock drift (s/s)
+    ve: float = 0.0          # ENU velocity at the fix (m/s)
+    vn: float = 0.0
+    vu: float = 0.0
+    speed_mps: float = 0.0   # horizontal ground speed
+    course_deg: float = 0.0  # course over ground, deg clockwise from N
+    n_sats: int = 0
+
+
+def solve_velocity(rx_ecef: np.ndarray, t_rx: float,
+                   t_tx: np.ndarray, ephs: Sequence[Ephemeris],
+                   doppler_hz: np.ndarray,
+                   weights: Optional[np.ndarray] = None) -> VelocitySolution:
+    """One-shot linear velocity solve from carrier Doppler.
+
+    Model (inertial frame coincident with ECEF at ``t_rx``; exact up to
+    the ~mm/s light-time-rate term): with ``u`` the unit vector from the
+    ECI-rotated satellite toward the receiver,
+
+        -lambda_L1 * f_dop = u.(v_rx + w x r_rx) - u.(R(theta)(v_sv + w x r_sv))
+                             + c*ddt_rx - c*ddt_sv
+
+    which is linear in the four unknowns ``[v_rx, c*ddt_rx]``.  Satellite
+    positions use the same ECI rotation ``theta = (t_tx - t_rx)*OMEGA_E``
+    as the position solver (c/solve.cpp:185-189) so the geometry of the
+    two solves is consistent.
+
+    Args:
+      rx_ecef: ``[3]`` receiver ECEF position (from ``solve_position``).
+      t_rx: receiver time of the snapshot (``Solution.t_rx``).
+      t_tx: ``[n]`` uncorrected SV transmit times (s of week).
+      ephs: matching ephemerides.
+      doppler_hz: ``[n]`` measured carrier Doppler (positive = satellite
+        approaching), i.e. the tracking bank's ``carrier_freq`` minus any
+        receiver-applied IF offset.
+      weights: per-channel weights (default 1).
+    """
+    n = len(t_tx)
+    if n < 4:
+        raise ValueError(f"need >=4 channels, got {n}")
+    rx = np.asarray(rx_ecef, np.float64)
+    w = np.ones(n) if weights is None else np.asarray(weights, np.float64)
+    f_d = np.asarray(doppler_hz, np.float64)
+
+    t_corr = np.array([t - e.clock_correction(t)
+                       for t, e in zip(t_tx, ephs)])
+    sv = np.array([e.get_xyz(t) for e, t in zip(ephs, t_corr)])
+    v_sv = np.array([e.get_velocity(t) for e, t in zip(ephs, t_corr)])
+    ddt_sv = np.array([e.clock_drift(t) for e, t in zip(ephs, t_corr)])
+
+    # inertial SV velocity before rotation: v_sv + w x r_sv
+    v_in = v_sv + np.stack([-OMEGA_E * sv[:, 1],
+                            OMEGA_E * sv[:, 0],
+                            np.zeros(n)], axis=1)
+    theta = (t_corr - t_rx) * OMEGA_E
+    ct, st = np.cos(theta), np.sin(theta)
+    rot = lambda p: np.stack([p[:, 0] * ct - p[:, 1] * st,
+                              p[:, 0] * st + p[:, 1] * ct,
+                              p[:, 2]], axis=1)
+    sv_r, v_r = rot(sv), rot(v_in)
+
+    d = rx[None, :] - sv_r
+    u = d / np.linalg.norm(d, axis=1, keepdims=True)
+    w_x_rx = np.array([-OMEGA_E * rx[1], OMEGA_E * rx[0], 0.0])
+
+    lam = SPEED_OF_LIGHT / L1_HZ
+    y = (-lam * f_d - u @ w_x_rx + np.einsum("ij,ij->i", u, v_r)
+         + SPEED_OF_LIGHT * ddt_sv)
+    h = np.concatenate([u, np.ones((n, 1))], axis=1)
+    a = h.T @ (w[:, None] * h)
+    b = h.T @ (w * y)
+    est = np.linalg.solve(a, b)
+
+    lat, lon, _ = lat_lon_alt(rx[0], rx[1], rx[2])
+    sl, cl = np.sin(lon), np.cos(lon)
+    sp, cp = np.sin(lat), np.cos(lat)
+    v = est[:3]
+    ve = -sl * v[0] + cl * v[1]
+    vn = -sp * cl * v[0] - sp * sl * v[1] + cp * v[2]
+    vu = cp * cl * v[0] + cp * sl * v[1] + sp * v[2]
+    return VelocitySolution(
+        vx=float(v[0]), vy=float(v[1]), vz=float(v[2]),
+        clk_drift=float(est[3] / SPEED_OF_LIGHT),
+        ve=float(ve), vn=float(vn), vu=float(vu),
+        speed_mps=float(np.hypot(ve, vn)),
+        course_deg=float(np.degrees(np.arctan2(ve, vn)) % 360.0),
+        n_sats=n)
 
 
 def lat_lon_alt(x: float, y: float, z: float) -> tuple[float, float, float]:

@@ -48,6 +48,7 @@ class ChannelRecord:
     ip_hist: list = dataclasses.field(default_factory=list)
     qp_hist: list = dataclasses.field(default_factory=list)
     code_freq_hist: list = dataclasses.field(default_factory=list)
+    carrier_freq_hist: list = dataclasses.field(default_factory=list)
     code_phase0: float = 0.0      # chips at start_epoch
     bit_offset: Optional[int] = None
     bits: Optional[np.ndarray] = None
@@ -181,11 +182,13 @@ class Receiver:
                 ip = np.asarray(out.ip)
                 qp = np.asarray(out.qp)
                 cf = np.asarray(out.code_freq)
+                caf = np.asarray(out.carrier_freq)
             for r in recs:
                 if not r.lost:
                     r.ip_hist.extend(ip[:, r.ch].tolist())
                     r.qp_hist.extend(qp[:, r.ch].tolist())
                     r.code_freq_hist.extend(cf[:, r.ch].tolist())
+                    r.carrier_freq_hist.extend(caf[:, r.ch].tolist())
             n_tracked += ip.shape[0]
             e0 = e1
             self._watchdog(recs, p)
@@ -331,10 +334,12 @@ class Receiver:
                 ip = np.asarray(out.ip)
                 qp = np.asarray(out.qp)
                 cf = np.asarray(out.code_freq)
+                caf = np.asarray(out.carrier_freq)
             for r in live.values():
                 r.ip_hist.extend(ip[:, r.ch].tolist())
                 r.qp_hist.extend(qp[:, r.ch].tolist())
                 r.code_freq_hist.extend(cf[:, r.ch].tolist())
+                r.carrier_freq_hist.extend(caf[:, r.ch].tolist())
             n_epochs_total += ip.shape[0]
             # watchdog: free dead channels and their slots (SignalLost)
             self._watchdog(list(live.values()), p)
@@ -445,7 +450,7 @@ class Receiver:
         array analog of the reference's spi_hog atomic multi-channel clock
         capture (reference: c/solve.cpp:62-85).
         """
-        t_tx, ephs, weights = [], [], []
+        t_tx, ephs, weights, dops = [], [], [], []
         for r in recs:
             e_local = e_snap - r.start_epoch  # records may start mid-run
             if (not r.eph.valid()
@@ -472,8 +477,24 @@ class Receiver:
             ephs.append(r.eph)
             ip = np.asarray(r.ip_hist[max(0, e_local - 8): e_local])
             weights.append(float(np.mean(np.square(ip))))
+            # carrier Doppler at the snapshot, smoothed over the last
+            # 100 ms to average PLL jitter (the loop BW is ~18 Hz)
+            cfh = r.carrier_freq_hist[max(0, e_local - 100): e_local]
+            dops.append(float(np.mean(cfh)) if cfh else np.nan)
         if len(t_tx) < 4:
             return None
         sol = pvt.solve_position(np.asarray(t_tx), ephs,
                                  np.asarray(weights), apply_iono=True)
-        return sol if sol.converged else None
+        if sol is None or not sol.converged:
+            return None
+        # Doppler velocity solve at the converged position (VTG analog;
+        # beyond the reference, which never computes velocity)
+        dops = np.asarray(dops)
+        if np.all(np.isfinite(dops)):
+            try:
+                sol.vel = pvt.solve_velocity(
+                    np.array([sol.x, sol.y, sol.z]), sol.t_rx,
+                    np.asarray(t_tx), ephs, dops, np.asarray(weights))
+            except np.linalg.LinAlgError:
+                pass
+        return sol

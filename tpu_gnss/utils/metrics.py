@@ -109,9 +109,15 @@ def channel_bars(prns, powers, width: int = 40,
 
 def solution_line(sol) -> str:
     """One-line fix report (the reference's printf row,
-    c/solve.cpp:309-315)."""
-    return (f"{sol.n_sats},{sol.iterations:3d},{sol.t_bias:10.6f},"
+    c/solve.cpp:309-315), plus speed/course when a Doppler velocity
+    solution is attached (the VTG quantities; beyond the reference)."""
+    line = (f"{sol.n_sats},{sol.iterations:3d},{sol.t_bias:10.6f},"
             f"{sol.lat_deg:10.5f},{sol.lon_deg:10.5f},{sol.alt_m:8.2f}")
+    vel = getattr(sol, "vel", None)
+    if vel is not None:
+        line += (f"  {vel.speed_mps * 3.6:6.2f} km/h"
+                 f" @{vel.course_deg:5.1f}T {vel.vu:+5.2f} m/s up")
+    return line
 
 
 def latlon_dms(lat_deg: float, lon_deg: float) -> str:
