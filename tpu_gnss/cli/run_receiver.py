@@ -44,6 +44,9 @@ def main(argv=None) -> int:
                    help="load ephemerides from a previous checkpoint; a "
                         "fix then needs one subframe (~7 s) instead of "
                         "three (~20 s)")
+    p.add_argument("--nmea-out", default=None, metavar="FILE.nmea",
+                   help="write fixes as NMEA GGA/GSA/GSV/RMC/VTG/GST "
+                        "sentences (feed to cli.nmea monitor/compare)")
     args = p.parse_args(argv)
     from ..utils.jaxcache import enable_persistent_cache
     enable_persistent_cache()
@@ -119,6 +122,13 @@ def main(argv=None) -> int:
                   f"PRN {best.prn} prompt constellation:")
             print(metrics.iq_scatter_ascii(best.ip_hist[skip:],
                                            best.qp_hist[skip:]))
+
+    if args.nmea_out:
+        from . import nmea_out
+        week = next((int(r.eph.week) for r in result.channels
+                     if r.eph.valid()), None)
+        n = nmea_out.write_track(args.nmea_out, result.solutions, week=week)
+        print(f"\n{n} NMEA sentences -> {args.nmea_out}")
 
     if args.checkpoint:
         from ..utils.checkpoint import save_state

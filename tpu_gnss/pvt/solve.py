@@ -69,6 +69,10 @@ class Solution:
     alt_m: float = 0.0
     n_sats: int = 0
     vel: Optional["VelocitySolution"] = None  # attached when Doppler known
+    residual_rms_m: Optional[float] = None    # weighted post-fit residual
+    # NMEA-emission metadata, attached by the receiver (cli.nmea_out):
+    sats: Optional[list] = None   # [{prn, elev_deg, az_deg, cn0_dbhz, used}]
+    dops: Optional[dict] = None   # {pdop, hdop, vdop, gdop}
 
 
 def solve_position(t_tx: np.ndarray, ephs: Sequence[Ephemeris],
@@ -155,12 +159,14 @@ def _solve_once(t_tx, ephs, weights, x0, iono_m) -> Solution:
         est += step
 
     lat, lon, alt = lat_lon_alt(est[0], est[1], est[2])
+    rms = float(np.sqrt(np.sum(w * d_pr * d_pr) / np.sum(w)))
     return Solution(x=float(est[0]), y=float(est[1]), z=float(est[2]),
                     t_bias=float(est[3]), t_rx=float(t_rx), iterations=it,
                     converged=converged,
                     lat_deg=float(np.degrees(lat)),
                     lon_deg=float(np.degrees(lon)),
-                    alt_m=float(alt), n_sats=n)
+                    alt_m=float(alt), n_sats=n,
+                    residual_rms_m=rms if converged else None)
 
 
 def solve_snapshots(snaps: Sequence[Snapshot],

@@ -450,7 +450,7 @@ class Receiver:
         array analog of the reference's spi_hog atomic multi-channel clock
         capture (reference: c/solve.cpp:62-85).
         """
-        t_tx, ephs, weights, dops = [], [], [], []
+        t_tx, ephs, weights, dops, used = [], [], [], [], []
         for r in recs:
             e_local = e_snap - r.start_epoch  # records may start mid-run
             if (not r.eph.valid()
@@ -481,12 +481,21 @@ class Receiver:
             # 100 ms to average PLL jitter (the loop BW is ~18 Hz)
             cfh = r.carrier_freq_hist[max(0, e_local - 100): e_local]
             dops.append(float(np.mean(cfh)) if cfh else np.nan)
+            used.append(r)
         if len(t_tx) < 4:
             return None
         sol = pvt.solve_position(np.asarray(t_tx), ephs,
                                  np.asarray(weights), apply_iono=True)
         if sol is None or not sol.converged:
             return None
+        # satellite view + DOPs for NMEA emission (cli.nmea_out)
+        from .cli.nmea_out import sat_geometry
+        sv = np.array([e.get_xyz(t) for e, t in zip(ephs, t_tx)])
+        elev, az, dop_d = sat_geometry(np.array([sol.x, sol.y, sol.z]), sv)
+        sol.dops = dop_d
+        sol.sats = [dict(prn=r.prn, elev_deg=float(el), az_deg=float(a),
+                         cn0_dbhz=r.cn0_dbhz, used=True)
+                    for r, el, a in zip(used, elev, az)]
         # Doppler velocity solve at the converged position (VTG analog;
         # beyond the reference, which never computes velocity)
         dops = np.asarray(dops)
