@@ -20,13 +20,79 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
+def multiprocess_bench(processes, blocks_per_dev: int, cpu_devices: int,
+                       repeats: int, pin_cores: bool = False) -> int:
+    """N-OS-process (DCN-simulation) scaling: the 2-host efficiency table.
+
+    Spawns `tpu_gnss.dist.multihost` workers per process count and
+    reports throughput + efficiency vs 1 process — the podless stand-in
+    for the >=80% @ 2 hosts BASELINE.md target.
+
+    ``pin_cores``: taskset each worker to its own physical core with one
+    virtual device — otherwise processes contend for the same cores and
+    the "efficiency" measures the oversubscription, not the collectives.
+    """
+    import socket
+    import subprocess
+    import tempfile
+    import numpy as np
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    results, t1 = [], None
+    for n_proc in processes:
+        s = socket.socket(); s.bind(("127.0.0.1", 0))
+        port = s.getsockname()[1]; s.close()
+        with tempfile.TemporaryDirectory() as td:
+            outs = [os.path.join(td, f"p{i}.npz") for i in range(n_proc)]
+            procs = [subprocess.Popen(
+                (["taskset", "-c", str(i)] if pin_cores else []) +
+                [sys.executable, "-m", "tpu_gnss.dist.multihost",
+                 "--coordinator", f"127.0.0.1:{port}",
+                 "--num-processes", str(n_proc), "--process-id", str(i),
+                 "--cpu-devices", str(1 if pin_cores else cpu_devices),
+                 "--blocks-per-dev", str(blocks_per_dev),
+                 "--bench-repeats", str(repeats), "--out", outs[i]],
+                cwd=repo) for i in range(n_proc)]
+            for q in procs:
+                assert q.wait(timeout=600) == 0
+            d = np.load(outs[0])
+            wall = float(d["wall"])
+            n_blk = n_proc * blocks_per_dev
+            # worker scene: fft_len 2048, 32 PRNs, ~21-bin grid (padded)
+            work = n_blk * 32 * 21 * 2048
+            tput = work / wall
+        if t1 is None:
+            t1 = tput / n_proc   # per-process baseline from the first row
+        eff = tput / (t1 * n_proc)
+        results.append(dict(processes=n_proc,
+                            devices=int(d["n_devices"]),
+                            blocks=n_blk, wall_s=round(wall, 4),
+                            msample_prn_bin_s=round(tput / 1e6, 2),
+                            efficiency_vs_linear=round(eff, 3)))
+        print(json.dumps(results[-1]))
+    return 0
+
+
 def main() -> int:
     p = argparse.ArgumentParser()
     p.add_argument("--devices", type=int, nargs="+", default=[1, 2, 4, 8])
     p.add_argument("--blocks-per-device", type=int, default=2)
     p.add_argument("--cpu", action="store_true",
                    help="force the virtual CPU mesh (8 devices)")
+    p.add_argument("--multiprocess", action="store_true",
+                   help="scale over OS processes (jax.distributed + gloo "
+                        "over localhost — the 2-host DCN simulation)")
+    p.add_argument("--processes", type=int, nargs="+", default=[1, 2])
+    p.add_argument("--repeats", type=int, default=3)
+    p.add_argument("--pin-cores", action="store_true",
+                   help="one core + one device per process (fair "
+                        "collective-overhead measurement on shared CPUs)")
     args = p.parse_args()
+
+    if args.multiprocess:
+        return multiprocess_bench(args.processes, args.blocks_per_device,
+                                  cpu_devices=2, repeats=args.repeats,
+                                  pin_cores=args.pin_cores)
 
     if args.cpu or True:  # single real chip: CPU mesh is the only option
         os.environ["JAX_PLATFORMS"] = "cpu"
