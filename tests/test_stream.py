@@ -149,3 +149,55 @@ def test_1bit_source_continuous_phase_matches_oneshot(tmp_path):
     src = FileSource1Bit(str(path), SYNTHETIC, per_block_phase=False)
     got = np.concatenate(list(src.blocks(1024)))
     np.testing.assert_array_equal(got, full)
+
+
+def test_array_path_frees_lost_channels():
+    """process_iq (array path) must free dead channels and re-acquire —
+    regression for the process_iq/process_source drift where the array
+    path's watchdog marked channels lost but never stopped them."""
+    from tpu_gnss.receiver import Receiver
+
+    fs = SMALL.fs
+    sv_a = synth.SvSignal(prn=9, doppler_hz=500.0, code_phase_chips=300.0)
+    sv_b = synth.SvSignal(prn=17, doppler_hz=-1200.0, code_phase_chips=10.0)
+    seg1 = synth.synth_baseband([sv_a, sv_b], fs, int(3.0 * fs),
+                                noise_std=0.4, seed=1)
+    seg2 = synth.synth_baseband([sv_a], fs, int(4.0 * fs),
+                                noise_std=0.4, seed=2)
+    sv_b2 = synth.SvSignal(prn=17, doppler_hz=-1200.0, code_phase_chips=555.0)
+    seg3 = synth.synth_baseband([sv_a, sv_b2], fs, int(4.0 * fs),
+                                noise_std=0.4, seed=3)
+    iq = np.concatenate([seg1, seg2, seg3])
+
+    recv = Receiver(SMALL, los_timeout_s=1.0, reacq_interval_s=2.0)
+    out = recv.process_iq(iq, max_channels=4, chunk_s=1.0)
+    prn17 = [r for r in out.channels if r.prn == 17]
+    assert len(prn17) >= 2, "PRN 17 must be lost and re-acquired"
+    assert prn17[0].lost
+    re = prn17[-1]
+    assert re.start_epoch > 3000
+    ip = np.asarray(re.ip_hist[-100:])
+    assert np.abs(ip).mean() > 0.4 * 2048, "re-acquired channel must track"
+
+
+def test_weak_signal_escalation_in_receiver():
+    """A signal the single-block cold search misses is still acquired via
+    the receiver's non-coherent escalation (SURVEY §5 sensitivity)."""
+    from tpu_gnss.config import ReceiverConfig
+    from tpu_gnss.receiver import Receiver
+
+    cfg = ReceiverConfig(fs=2.048e6, fc=0.512e6, max_fo=5000.0,
+                         fft_len=4096, snr_threshold=25.0)
+    sv = synth.SvSignal(prn=9, doppler_hz=500.0, code_phase_chips=300.0)
+    iq = synth.synth_baseband([sv], cfg.fs, int(0.2 * cfg.fs),
+                              noise_std=13.0, seed=0)
+
+    # single-block search misses at this noise (that's the premise)
+    no_esc = Receiver(cfg, weak_noncoherent=1)
+    assert no_esc._cold_detections(iq) == []
+
+    recv = Receiver(cfg, weak_noncoherent=4)
+    dets = recv._cold_detections(iq)
+    assert [d["prn"] for d in dets] == [9]
+    assert dets[0]["snr"] >= cfg.snr_threshold
+    assert abs(dets[0]["doppler_hz"] - 500.0) < 80.0

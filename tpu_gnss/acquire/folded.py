@@ -364,6 +364,31 @@ def _power_grid_jit(samples: jnp.ndarray, code_ffts_p: jnp.ndarray,
     jax.jit,
     static_argnames=("fs", "lo_rate", "n_coherent", "n_noncoherent",
                      "dop_chunk", "from_bits", "period"))
+def _power_grid_sum_jit(samples: jnp.ndarray, code_ffts_p: jnp.ndarray,
+                        dops_hz: jnp.ndarray, *, fs: float, lo_rate: float,
+                        n_coherent: int, n_noncoherent: int,
+                        dop_chunk: int, from_bits: bool,
+                        period: int = 0) -> jnp.ndarray:
+    """Non-coherently accumulated power grid over consecutive blocks
+    (the grid-valued sibling of :func:`acquire_folded`)."""
+    iq = (mix_baseband(samples, lo_rate) if from_bits
+          else samples.astype(jnp.complex64))
+    p = period or code_ffts_p.shape[-1]
+    block = n_coherent * p
+    pwr = None
+    for b in range(n_noncoherent):
+        seg = jax.lax.dynamic_slice_in_dim(iq, b * block, block)
+        g = fold_power_grid(seg, code_ffts_p, dops_hz, fs=fs,
+                            n_coherent=n_coherent, dop_chunk=dop_chunk,
+                            period=period)
+        pwr = g if pwr is None else pwr + g
+    return pwr
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("fs", "lo_rate", "n_coherent", "n_noncoherent",
+                     "dop_chunk", "from_bits", "period"))
 def acquire_folded(samples: jnp.ndarray, code_ffts_p: jnp.ndarray,
                    dops_hz: jnp.ndarray, *, fs: float, lo_rate: float,
                    n_coherent: int, n_noncoherent: int = 1,
@@ -375,19 +400,11 @@ def acquire_folded(samples: jnp.ndarray, code_ffts_p: jnp.ndarray,
     One compiled program end-to-end (some backends cannot execute eager
     op-by-op dispatch at all); non-coherent blocks unroll statically.
     """
-    if from_bits:
-        iq = mix_baseband(samples, lo_rate)
-    else:
-        iq = samples.astype(jnp.complex64)
-    p = period or code_ffts_p.shape[-1]
-    block = n_coherent * p
-    pwr = None
-    for b in range(n_noncoherent):
-        seg = jax.lax.dynamic_slice_in_dim(iq, b * block, block)
-        g = fold_power_grid(seg, code_ffts_p, dops_hz, fs=fs,
-                            n_coherent=n_coherent, dop_chunk=dop_chunk,
-                            period=period)
-        pwr = g if pwr is None else pwr + g
+    pwr = _power_grid_sum_jit(samples, code_ffts_p, dops_hz, fs=fs,
+                              lo_rate=lo_rate, n_coherent=n_coherent,
+                              n_noncoherent=n_noncoherent,
+                              dop_chunk=dop_chunk, from_bits=from_bits,
+                              period=period)
     return reduce_grid(pwr, dops_hz)
 
 
@@ -468,14 +485,19 @@ class FoldedSearcher:
                 f"periods of {self.period}), got {samples.shape[-1]}")
         return samples, from_bits
 
-    def power_grid(self, bits=None, iq=None) -> jnp.ndarray:
-        """[n_sv, n_dop, P] power grid for one coherent block."""
-        samples, from_bits = self._prep(bits, iq, 1)
-        return _power_grid_jit(samples, self.code_ffts_p, self.dops_hz,
-                               fs=self.cfg.fs, lo_rate=self.cfg.lo_rate,
-                               n_coherent=self.n_coherent,
-                               dop_chunk=self.dop_chunk,
-                               from_bits=from_bits, period=self.period)
+    def power_grid(self, bits=None, iq=None,
+                   n_noncoherent: int = 1) -> jnp.ndarray:
+        """[n_sv, n_dop, P] power grid for one coherent block.
+
+        ``n_noncoherent > 1`` sums that many consecutive blocks' grids
+        (weak-signal accumulation, SURVEY §5)."""
+        samples, from_bits = self._prep(bits, iq, n_noncoherent)
+        return _power_grid_sum_jit(samples, self.code_ffts_p, self.dops_hz,
+                                   fs=self.cfg.fs, lo_rate=self.cfg.lo_rate,
+                                   n_coherent=self.n_coherent,
+                                   n_noncoherent=n_noncoherent,
+                                   dop_chunk=self.dop_chunk,
+                                   from_bits=from_bits, period=self.period)
 
     def acquire_packed(self, words_or_bits, n_noncoherent: int = 1,
                        use_pallas: Optional[bool] = None) -> FoldedResult:
@@ -565,7 +587,8 @@ class FoldedSearcher:
                               dop_chunk=self.dop_chunk,
                               from_bits=from_bits, period=self.period)
 
-    def detections_refined_fast(self, bits=None, iq=None) -> list[dict]:
+    def detections_refined_fast(self, bits=None, iq=None,
+                                n_noncoherent: int = 1) -> list[dict]:
         """MXU detection + exact narrow-window refinement.
 
         The fused kernel (engine="mxu") finds per-SV bests without ever
@@ -574,11 +597,16 @@ class FoldedSearcher:
         neighborhood for the same parabolic refinement as
         :meth:`detections_refined`.  Grid compute drops from the full
         n_dop sweep to 5 bins per detection.
+
+        ``n_noncoherent > 1`` sums that many consecutive coherent
+        blocks' powers inside the kernel before the peak search (and
+        sums the refinement window grids likewise) — the weak-signal
+        escalation (SURVEY §5: non-coherent integration across blocks).
         """
-        samples, from_bits = self._prep(bits, iq, 1)
+        samples, from_bits = self._prep(bits, iq, n_noncoherent)
         res = self.acquire(bits=samples if from_bits else None,
                            iq=None if from_bits else samples,
-                           engine="mxu")
+                           n_noncoherent=n_noncoherent, engine="mxu")
         dets = self.detections(res)
         if not dets:
             return []
@@ -595,11 +623,11 @@ class FoldedSearcher:
         pad = (-len(window)) % bucket
         if pad:
             window = np.concatenate([window, np.full(pad, window[-1])])
-        pwr = np.asarray(_power_grid_jit(
+        pwr = np.asarray(_power_grid_sum_jit(
             samples, self.code_ffts_p,
             jnp.asarray(window.astype(np.float32)),
             fs=self.cfg.fs, lo_rate=self.cfg.lo_rate,
-            n_coherent=self.n_coherent,
+            n_coherent=self.n_coherent, n_noncoherent=n_noncoherent,
             dop_chunk=min(self.dop_chunk, len(window)),
             from_bits=from_bits, period=self.period))
         out = []

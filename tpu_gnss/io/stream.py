@@ -38,6 +38,27 @@ class SampleSource:
         raise NotImplementedError
 
 
+class ArraySource(SampleSource):
+    """Wrap a host complex-baseband array as a source (process_iq path).
+
+    Unlike the file sources, the FINAL partial block (>= 1 ms) is also
+    yielded so an array's trailing epochs are processed, matching the
+    old whole-array semantics.
+    """
+
+    def __init__(self, data: np.ndarray, fs: float):
+        self.data = np.asarray(data)
+        self.fs = fs
+
+    def blocks(self, block_len: int) -> Iterator[np.ndarray]:
+        p = round(self.fs * 1e-3)
+        for i in range(0, len(self.data), block_len):
+            blk = self.data[i: i + block_len]
+            if len(blk) < p:
+                return
+            yield blk
+
+
 class FileSource1Bit(SampleSource):
     """Replay a bit-packed 1-bit IF capture as baseband blocks.
 

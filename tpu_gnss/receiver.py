@@ -9,12 +9,25 @@ Here the "tasks" are pipeline stages over arrays:
   tracking scan (device, chunked) -> NAV bit/frame decode (host)
   ephemeris ingest               ->  PVT solve every 4 s (host)
 
+One streaming loop serves every input kind (host arrays wrap into an
+:class:`tpu_gnss.io.stream.ArraySource`).  The loop is pipelined the way
+the reference pipelines its SPI link (request N+1 issued before response
+N is read, c/spi.cpp:34-53): chunk k's tracking scan is dispatched to the
+device BEFORE chunk k-1's correlator outputs are fetched, so the host's
+decode/bookkeeping overlaps device compute.  Host<->device traffic per
+chunk is one quantized int8 upload (or 1-bit samples for packed captures)
+and one [4, epochs, chan] float32 download — the TPU analog of the
+reference FPGA's integrate-and-dump decimation that hands the Pi 50 bps
+instead of 10 Msps ("Homemade GPS Receiver.html":306).
+
 Channel-management semantics follow the reference: strongest detections
 fill the channel bank, a power watchdog frees dead channels and re-queues
 their PRN for search (reference: c/channel.cpp:211-254 SignalLost), and
 probation — a channel must decode parity-clean subframes before the
 solver trusts it (reference: c/channel.cpp:39,343,363) — maps to
-requiring a validated subframe + valid ephemeris per channel.
+requiring a validated subframe + valid ephemeris per channel.  Weak-signal
+cold starts escalate to non-coherent accumulation over multiple coherent
+blocks (SURVEY §5's sensitivity mechanism; the reference never had it).
 
 Transmit-time reconstruction is code-locked: an unwrapped chip counter
 per channel (integrated from the tracked code rate) counts transmit time
@@ -38,17 +51,21 @@ from .nav.ephemeris import Ephemeris
 from .pvt import solve as pvt
 from .track import channel as tc
 
+_HIST_KEYS = ("ip", "qp", "cf", "caf", "chips")
+
 
 @dataclasses.dataclass
 class ChannelRecord:
-    """Host-side per-channel bookkeeping (the CHANNEL struct analog)."""
+    """Host-side per-channel bookkeeping (the CHANNEL struct analog).
+
+    Histories are stored as per-chunk numpy arrays and concatenated
+    lazily — O(total) work, no per-epoch python objects.  The unwrapped
+    chip counter is integrated incrementally at append time (the fix for
+    the old full-history cumsum per solve snapshot).
+    """
     ch: int
     prn: int
     start_epoch: int
-    ip_hist: list = dataclasses.field(default_factory=list)
-    qp_hist: list = dataclasses.field(default_factory=list)
-    code_freq_hist: list = dataclasses.field(default_factory=list)
-    carrier_freq_hist: list = dataclasses.field(default_factory=list)
     code_phase0: float = 0.0      # chips at start_epoch
     bit_offset: Optional[int] = None
     bits: Optional[np.ndarray] = None
@@ -58,13 +75,70 @@ class ChannelRecord:
     last_tow: Optional[int] = None
     cn0_dbhz: Optional[float] = None
     lost: bool = False
+    n_epochs: int = 0
+    _chunks: dict = dataclasses.field(
+        default_factory=lambda: {k: [] for k in _HIST_KEYS})
+    _cat: dict = dataclasses.field(default_factory=dict)
+    _chip_base: float = 0.0       # integrated chips before current chunk
+    _ref_pwr: Optional[float] = None   # watchdog reference power
+
+    # ------------------------------------------------------------------
+    def append_hist(self, ip: np.ndarray, qp: np.ndarray, cf: np.ndarray,
+                    caf: np.ndarray, t_epoch: float) -> None:
+        """Append one chunk of per-epoch correlator outputs."""
+        self._chunks["ip"].append(ip)
+        self._chunks["qp"].append(qp)
+        self._chunks["cf"].append(cf)
+        self._chunks["caf"].append(caf)
+        cf64 = np.asarray(cf, np.float64)
+        chips = (self.code_phase0 + self._chip_base
+                 + np.concatenate([[0.0], np.cumsum(cf64[:-1])]) * t_epoch)
+        self._chunks["chips"].append(chips)
+        self._chip_base += float(cf64.sum()) * t_epoch
+        self.n_epochs += len(ip)
+        self._cat.clear()
+
+    def hist(self, key: str) -> np.ndarray:
+        """Full concatenated history (cached until the next append)."""
+        got = self._cat.get(key)
+        if got is None:
+            parts = self._chunks[key]
+            got = (np.concatenate(parts) if parts
+                   else np.empty(0, np.float32))
+            self._cat[key] = got
+        return got
+
+    def tail(self, key: str, n: int) -> np.ndarray:
+        """Last ``n`` epochs of one history without a full concat."""
+        parts, have = [], 0
+        for arr in reversed(self._chunks[key]):
+            parts.append(arr)
+            have += len(arr)
+            if have >= n:
+                break
+        if not parts:
+            return np.empty(0, np.float32)
+        return np.concatenate(parts[::-1])[-n:]
+
+    @property
+    def ip_hist(self) -> np.ndarray:
+        return self.hist("ip")
+
+    @property
+    def qp_hist(self) -> np.ndarray:
+        return self.hist("qp")
+
+    @property
+    def code_freq_hist(self) -> np.ndarray:
+        return self.hist("cf")
+
+    @property
+    def carrier_freq_hist(self) -> np.ndarray:
+        return self.hist("caf")
 
     def unwrapped_chips(self, fs: float) -> np.ndarray:
         """Absolute chip count at each epoch start since start_epoch."""
-        cf = np.asarray(self.code_freq_hist, dtype=np.float64)
-        t_epoch = round(fs * 1e-3) / fs
-        return self.code_phase0 + np.concatenate(
-            [[0.0], np.cumsum(cf[:-1]) * t_epoch])
+        return self.hist("chips")
 
 
 @dataclasses.dataclass
@@ -86,7 +160,10 @@ class Receiver:
                  reacq_interval_s: float = 5.0,
                  fft_correlator: bool = True,
                  agc_thresholds: Optional[tuple] = None,
-                 acq_engine: str = "auto"):
+                 acq_engine: str = "auto",
+                 weak_min_svs: int = 4,
+                 weak_noncoherent: int = 4,
+                 transfer_dtype: str = "int8"):
         self.cfg = cfg
         self.searcher = FoldedSearcher(cfg, n_coherent=n_coherent)
         t_s = epochs_per_step * 1e-3
@@ -107,12 +184,25 @@ class Receiver:
         # + narrow-window refinement (no full power grid); "xla" = grid
         # + refine; "auto" picks mxu on TPU when the transform factors
         self.acq_engine = acq_engine
+        # weak-signal escalation: when a single-block cold search finds
+        # fewer than ``weak_min_svs`` SVs, retry with ``weak_noncoherent``
+        # blocks accumulated non-coherently (needs that much input)
+        self.weak_min_svs = weak_min_svs
+        self.weak_noncoherent = weak_noncoherent
+        # complex-capture uplink quantization: "int8" sends quantized
+        # planes (4x less traffic, dequantized on device), "float32"
+        # sends exact planes
+        self.transfer_dtype = transfer_dtype
+        self._q_scale: Optional[float] = None
 
+    # ------------------------------------------------------------------
     def _cold_detections(self, head, bits: bool = False) -> list:
         """Refined detections for channel seeding, engine-dispatched.
 
-        ``head`` is a complex-baseband block, or raw {0,1} samples when
-        ``bits`` (mixed on device).
+        ``head`` is a complex-baseband segment, or raw {0,1} samples when
+        ``bits`` (mixed on device).  When the single-block search comes
+        up short and ``head`` spans several coherent blocks, the search
+        escalates to non-coherent accumulation (weak-signal mode).
         """
         engine = self.acq_engine
         if engine == "auto":
@@ -120,96 +210,31 @@ class Receiver:
             engine = ("mxu" if jax.devices()[0].platform in ("tpu", "axon")
                       and self.searcher.mxu_supported() else "xla")
         kw = dict(bits=head) if bits else dict(iq=head)
-        if engine == "mxu":
-            return self.searcher.detections_refined_fast(**kw)
-        pwr = self.searcher.power_grid(**kw)
-        return self.searcher.detections_refined(pwr)
+
+        def run(n_nc):
+            if engine == "mxu":
+                return self.searcher.detections_refined_fast(
+                    **kw, n_noncoherent=n_nc)
+            pwr = self.searcher.power_grid(**kw, n_noncoherent=n_nc)
+            return self.searcher.detections_refined(pwr)
+
+        dets = run(1)
+        k = min(self.weak_noncoherent,
+                len(head) // self.searcher.block_len)
+        if len(dets) < self.weak_min_svs and k > 1:
+            weak = run(k)
+            if len(weak) > len(dets):
+                dets = weak
+        return dets
 
     # ------------------------------------------------------------------
     def process_iq(self, iq: np.ndarray, max_channels: Optional[int] = None,
                    chunk_s: float = 2.0) -> ReceiverResult:
         """Run the full chain over a host complex-baseband capture."""
-        import jax.numpy as jnp
-        from .utils.xfer import to_device_complex
-        from .utils.metrics import METRICS
-
-        cfg = self.cfg
-        p = round(cfg.fs * 1e-3)
-        n_epochs_total = len(iq) // p
-        max_channels = max_channels or cfg.num_chans
-        assert int(chunk_s * 1000) % self.epochs_per_step == 0, \
-            "chunk_s must cover whole tracking steps"
-
-        # --- 1. acquisition on the first coherent block ----------------
-        with METRICS.stage("receiver.acquire"):
-            dets = sorted(
-                self._cold_detections(
-                    np.asarray(iq[: self.searcher.block_len])),
-                key=lambda d: -d["snr"])[:max_channels]
-
-        # --- 2. channel bank allocation --------------------------------
-        n_chan = max(len(dets), 1)
-        state = tc.init_state(n_chan)
-        recs = []
-        for ch, d in enumerate(dets):
-            code_phase = d["ca_shift"] * CHIP_RATE_HZ / cfg.fs
-            state = tc.start_channel(state, ch, d["doppler_hz"], code_phase)
-            recs.append(ChannelRecord(ch=ch, prn=d["prn"], start_epoch=0,
-                                      code_phase0=code_phase))
-        tables = jnp.asarray(
-            tc.channel_code_tables([r.prn for r in recs], n_chan))
-        code_ffts = self._spectra([r.prn for r in recs], n_chan)
-
-        # --- 3. tracking scan over the capture, chunked ----------------
-        # chunks are sliced host-side and transferred per chunk: eager
-        # device slicing is not portable (see utils.xfer notes)
-        chunk_ep = max(1, int(chunk_s * 1000))
-        iq_host = np.asarray(iq[: n_epochs_total * p])
-        e0 = 0
-        n_tracked = 0   # epochs actually produced (track_epochs drops a
-        #                 trailing partial step of the final chunk)
-        while e0 < n_epochs_total:
-            e1 = min(e0 + chunk_ep, n_epochs_total)
-            with METRICS.stage("receiver.transfer"):
-                seg = to_device_complex(iq_host[e0 * p: e1 * p])
-            with METRICS.stage("receiver.track"):
-                state, out = tc.track_epochs(
-                    seg, state, tables, fs=cfg.fs,
-                    pll_gains=self.pll_gains, dll_gains=self.dll_gains,
-                    epochs_per_step=self.epochs_per_step,
-                    code_ffts=code_ffts,
-                    agc_thresholds=self.agc_thresholds)
-                ip = np.asarray(out.ip)
-                qp = np.asarray(out.qp)
-                cf = np.asarray(out.code_freq)
-                caf = np.asarray(out.carrier_freq)
-            for r in recs:
-                if not r.lost:
-                    r.ip_hist.extend(ip[:, r.ch].tolist())
-                    r.qp_hist.extend(qp[:, r.ch].tolist())
-                    r.code_freq_hist.extend(cf[:, r.ch].tolist())
-                    r.carrier_freq_hist.extend(caf[:, r.ch].tolist())
-            n_tracked += ip.shape[0]
-            e0 = e1
-            self._watchdog(recs, p)
-
-        # --- 4. NAV decode per channel ---------------------------------
-        for r in recs:
-            self._decode_nav(r)
-
-        # --- 5. PVT solves (over epochs that really reached tracking) ---
-        solutions = []
-        step = int(self.solve_interval_s * 1000)
-        snap_epochs = list(range(step, n_tracked, step))
-        if n_tracked - 2 not in snap_epochs and n_tracked > 2:
-            snap_epochs.append(n_tracked - 2)
-        for e_snap in snap_epochs:
-            sol = self._solve_at(recs, e_snap)
-            if sol is not None:
-                solutions.append(sol)
-
-        return ReceiverResult(detections=dets, channels=recs,
-                              solutions=solutions)
+        from .io.stream import ArraySource
+        return self.process_source(ArraySource(iq, self.cfg.fs),
+                                   max_channels=max_channels,
+                                   chunk_s=chunk_s)
 
     # ------------------------------------------------------------------
     def process_source(self, source, max_duration_s: Optional[float] = None,
@@ -220,8 +245,8 @@ class Receiver:
         """Streaming full chain over a :class:`tpu_gnss.io.stream` source.
 
         Bounded memory: raw samples are consumed chunk-by-chunk; only the
-        per-epoch correlator outputs are retained (50 bytes/s/channel
-        scale — the same reduction the reference's FPGA integrate-and-dump
+        per-epoch correlator outputs are retained (kB/s/channel scale —
+        the same reduction the reference's FPGA integrate-and-dump
         achieves before the Pi ever sees data).
 
         ``warm_ephemerides``: {prn: Ephemeris} from a previous run's
@@ -231,12 +256,12 @@ class Receiver:
         """
         import jax.numpy as jnp
         from .io.stream import Prefetcher
-        from .utils.xfer import to_device_complex
         from .utils.metrics import METRICS
 
         cfg = self.cfg
         p = round(cfg.fs * 1e-3)
-        assert int(chunk_s * 1000) % self.epochs_per_step == 0, \
+        eps = self.epochs_per_step
+        assert int(chunk_s * 1000) % eps == 0, \
             "chunk_s must cover whole tracking steps"
         chunk_len = max(1, int(chunk_s * 1000)) * p
         # fast path for 1-bit sources: transfer raw {0,1} samples (8x
@@ -257,12 +282,13 @@ class Receiver:
 
         n_chan = max_channels or cfg.num_chans
         state = tc.init_state(n_chan)
-        tables_np = tc.channel_code_tables([], n_chan)
+        slot_prns = [None] * n_chan   # channel slot -> PRN (None = free)
         live: dict = {}      # channel slot -> active ChannelRecord
         recs: list = []      # every record ever started (incl. lost)
-        first_dets: list = []
+        t_epoch = p / cfg.fs
+        acq_head_len = self.weak_noncoherent * self.searcher.block_len
 
-        def try_acquire(blk_head, epoch_now):
+        def try_acquire(blk, epoch_now):
             """Search for SVs not currently tracked; fill free slots.
 
             The SearchEnable/SearchTask loop analog
@@ -272,8 +298,9 @@ class Receiver:
             free = [ch for ch in range(n_chan) if ch not in live]
             if not free:
                 return []
-            dets = sorted(self._cold_detections(blk_head, bits=use_bits),
-                          key=lambda d: -d["snr"])
+            dets = sorted(
+                self._cold_detections(blk[:acq_head_len], bits=use_bits),
+                key=lambda d: -d["snr"])
             tracked = {r.prn for r in live.values()}
             started = []
             for d in dets:
@@ -283,7 +310,7 @@ class Receiver:
                 code_phase = d["ca_shift"] * CHIP_RATE_HZ / cfg.fs
                 state = tc.start_channel(state, ch, d["doppler_hz"],
                                          code_phase)
-                tables_np[ch] = tc.channel_code_tables([d["prn"]], 1)[0]
+                slot_prns[ch] = d["prn"]
                 rec = ChannelRecord(ch=ch, prn=d["prn"],
                                     start_epoch=epoch_now,
                                     code_phase0=code_phase)
@@ -296,77 +323,119 @@ class Receiver:
             return started
 
         with METRICS.stage("receiver.acquire"):
-            first_dets = try_acquire(first[: self.searcher.block_len], 0)
-        reacq_cooldown = int(self.reacq_interval_s * 1000)
-        next_reacq = reacq_cooldown
+            first_dets = try_acquire(first, 0)
+        reacq_base = int(self.reacq_interval_s * 1000)
+        reacq_cooldown = reacq_base
+        next_reacq = reacq_base
 
-        n_epochs_total = 0
+        def drain(pending):
+            """Fetch the previous chunk's outputs; bookkeeping + watchdog.
+
+            Runs while the CURRENT chunk computes on device — the host
+            side of the pipelining.
+            """
+            nonlocal state, reacq_cooldown, next_reacq
+            out_dev, snapshot = pending
+            with METRICS.stage("receiver.drain"):
+                arr = np.asarray(out_dev)        # [4, n_ep, n_chan]
+            ip, qp, cf, caf = arr
+            for r in snapshot:
+                r.append_hist(ip[:, r.ch], qp[:, r.ch], cf[:, r.ch],
+                              caf[:, r.ch], t_epoch)
+            # watchdog: free dead channels + their slots (SignalLost)
+            self._watchdog([r for r in snapshot if not r.lost])
+            stopped = False
+            for ch in [c for c, r in live.items() if r.lost]:
+                state = tc.stop_channel(state, ch)
+                slot_prns[ch] = None
+                del live[ch]
+                stopped = True
+            if stopped:     # a loss re-arms the search promptly
+                reacq_cooldown = reacq_base
+                next_reacq = min(next_reacq, n_dispatched + reacq_base)
+
+        n_dispatched = 0     # epochs sent to the tracker
+        pending = None       # previous chunk's (device outputs, records)
         blk = first
         while blk is not None:
-            n_ep = len(blk) // p
+            n_ep = (len(blk) // p // eps) * eps
+            tail_ep = len(blk) // p - n_ep
             if n_ep == 0:
                 break
-            if (n_epochs_total >= next_reacq and len(live) < n_chan
+            if (n_dispatched >= next_reacq and len(live) < n_chan
                     and len(blk) >= self.searcher.block_len):
                 with METRICS.stage("receiver.acquire"):
-                    try_acquire(blk[: self.searcher.block_len],
-                                n_epochs_total)
-                next_reacq = n_epochs_total + reacq_cooldown
-            tables = jnp.asarray(tables_np)
-            code_ffts = self._spectra(
-                [live[ch].prn if ch in live else 1 for ch in range(n_chan)],
-                n_chan)
+                    started = try_acquire(blk, n_dispatched)
+                # fruitless sky searches back off exponentially (a hit
+                # or a fresh signal loss resets the cadence); the live
+                # SearchEnable loop keeps spinning, just cheaper
+                reacq_cooldown = (reacq_base if started
+                                  else min(2 * reacq_cooldown,
+                                           8 * reacq_base))
+                next_reacq = n_dispatched + reacq_cooldown
+            tables, code_ffts = self._tables_for(tuple(slot_prns), n_chan)
             with METRICS.stage("receiver.transfer"):
-                if use_bits:
-                    seg = self._mix_chunk(
-                        jnp.asarray(np.ascontiguousarray(blk[: n_ep * p])),
-                        n_epochs_total * p)
-                else:
-                    seg = to_device_complex(
-                        np.ascontiguousarray(blk[: n_ep * p]))
+                seg = self._transfer(blk[: n_ep * p], use_bits,
+                                     n_dispatched * p)
             with METRICS.stage("receiver.track"):
                 state, out = tc.track_epochs(
                     seg, state, tables, fs=cfg.fs,
                     pll_gains=self.pll_gains, dll_gains=self.dll_gains,
-                    epochs_per_step=self.epochs_per_step,
+                    epochs_per_step=eps,
                     code_ffts=code_ffts,
                     agc_thresholds=self.agc_thresholds)
-                ip = np.asarray(out.ip)
-                qp = np.asarray(out.qp)
-                cf = np.asarray(out.code_freq)
-                caf = np.asarray(out.carrier_freq)
-            for r in live.values():
-                r.ip_hist.extend(ip[:, r.ch].tolist())
-                r.qp_hist.extend(qp[:, r.ch].tolist())
-                r.code_freq_hist.extend(cf[:, r.ch].tolist())
-                r.carrier_freq_hist.extend(caf[:, r.ch].tolist())
-            n_epochs_total += ip.shape[0]
-            # watchdog: free dead channels and their slots (SignalLost)
-            self._watchdog(list(live.values()), p)
-            for ch in [c for c, r in live.items() if r.lost]:
-                state = tc.stop_channel(state, ch)
-                del live[ch]
+                out_dev = _pack_out(out)
+            new_pending = (out_dev, list(live.values()))
+            n_dispatched += n_ep
+            if pending is not None:
+                drain(pending)
+            pending = new_pending
             if (max_duration_s is not None
-                    and n_epochs_total * 1e-3 >= max_duration_s):
+                    and n_dispatched * 1e-3 >= max_duration_s):
                 break
+            if tail_ep:
+                break       # partial final chunk: nothing follows
             with METRICS.stage("receiver.read"):
                 blk = next(blocks, None)
+        if pending is not None:
+            drain(pending)
 
         with METRICS.stage("receiver.nav"):
             for r in recs:
                 self._decode_nav(r)
-        dets = first_dets
         solutions = []
         step = int(self.solve_interval_s * 1000)
-        snap_epochs = list(range(step, n_epochs_total, step))
-        if n_epochs_total - 2 not in snap_epochs and n_epochs_total > 2:
-            snap_epochs.append(n_epochs_total - 2)
-        for e_snap in snap_epochs:
-            sol = self._solve_at(recs, e_snap)
-            if sol is not None:
-                solutions.append(sol)
-        return ReceiverResult(detections=dets, channels=recs,
+        snap_epochs = list(range(step, n_dispatched, step))
+        if n_dispatched - 2 not in snap_epochs and n_dispatched > 2:
+            snap_epochs.append(n_dispatched - 2)
+        with METRICS.stage("receiver.solve"):
+            for e_snap in snap_epochs:
+                sol = self._solve_at(recs, e_snap)
+                if sol is not None:
+                    solutions.append(sol)
+        return ReceiverResult(detections=first_dets, channels=recs,
                               solutions=solutions)
+
+    # ------------------------------------------------------------------
+    def _transfer(self, blk: np.ndarray, use_bits: bool, sample0: int):
+        """One chunk host -> device: bits stay bits, complex quantizes."""
+        if use_bits:
+            import jax.numpy as jnp
+            return self._mix_chunk(
+                jnp.asarray(np.ascontiguousarray(blk)), sample0)
+        blk = np.ascontiguousarray(blk)
+        if self.transfer_dtype == "int8":
+            from .utils.xfer import to_device_complex_i8
+            if self._q_scale is None:
+                rms = float(np.sqrt(np.mean(np.abs(blk[:65536]) ** 2)))
+                self._q_scale = 127.0 / (6.0 * rms) if rms > 0 else 1.0
+            try:
+                return to_device_complex_i8(blk, self._q_scale)
+            except Exception:
+                # backend without int8 transfer support: fall back once
+                self.transfer_dtype = "float32"
+        from .utils.xfer import to_device_complex
+        return to_device_complex(blk)
 
     # ------------------------------------------------------------------
     def _mix_chunk(self, bits_dev, sample0: int):
@@ -388,42 +457,47 @@ class Receiver:
         return self._mix_fn(bits_dev, jnp.float32(p0))
 
     # ------------------------------------------------------------------
-    def _spectra(self, prns, n_chan):
-        """Device correlator spectra for the channel set (FFT mode)."""
-        if not self.fft_correlator:
-            return None
-        key = tuple(prns)
-        cached = getattr(self, "_spectra_cache", None)
-        if cached is not None and cached[0] == key:
-            return cached[1]
-        from .utils.xfer import to_device_complex
-        spec = tc.code_spectra_np(list(prns), n_chan, self.cfg.fs)
-        dev = to_device_complex(spec)
-        self._spectra_cache = (key, dev)
-        return dev
+    def _tables_for(self, slot_key: tuple, n_chan: int):
+        """Device code tables + correlator spectra for the slot map.
+
+        Re-uploaded only when the channel->PRN assignment changes — the
+        old loop re-transferred the tables every chunk.
+        """
+        cached = getattr(self, "_tables_cache", None)
+        if cached is not None and cached[0] == slot_key:
+            return cached[1], cached[2]
+        import jax.numpy as jnp
+        prns = [prn if prn is not None else 1 for prn in slot_key]
+        tables = jnp.asarray(tc.channel_code_tables(prns, n_chan))
+        code_ffts = None
+        if self.fft_correlator:
+            from .utils.xfer import to_device_complex
+            spec = tc.code_spectra_np(prns, n_chan, self.cfg.fs)
+            code_ffts = to_device_complex(spec)
+        self._tables_cache = (slot_key, tables, code_ffts)
+        return tables, code_ffts
 
     # ------------------------------------------------------------------
-    def _watchdog(self, recs, p) -> None:
+    def _watchdog(self, recs) -> None:
         """Free channels whose prompt power collapsed (SignalLost analog)."""
         win = int(self.los_timeout_s * 1000)
         for r in recs:
-            if r.lost or len(r.ip_hist) < 2 * win:
+            if r.lost or r.n_epochs < 2 * win:
                 continue
-            # slice the python lists BEFORE converting: converting the
-            # whole history every chunk is quadratic over a long stream
-            ref = np.asarray(r.ip_hist[win // 2: win])
-            cur = np.asarray(r.ip_hist[-win:])
-            ref_pwr = float(np.mean(np.square(ref)))
+            if r._ref_pwr is None:
+                ref = r.hist("ip")[win // 2: win]
+                r._ref_pwr = float(np.mean(np.square(ref)))
+            cur = r.tail("ip", win)
             cur_pwr = float(np.mean(np.square(cur)))
-            if ref_pwr > 0 and cur_pwr < self.los_power_ratio * ref_pwr:
+            if r._ref_pwr > 0 and cur_pwr < self.los_power_ratio * r._ref_pwr:
                 r.lost = True
 
     def _decode_nav(self, r: ChannelRecord) -> None:
         from .track.quality import cn0_nwpr
-        ip = np.asarray(r.ip_hist)
+        ip = r.ip_hist
         if len(ip) < 40 * CODES_PER_BIT:
             return
-        qp = np.asarray(r.qp_hist)
+        qp = r.qp_hist
         r.cn0_dbhz = cn0_nwpr(ip[-2000:], qp[-2000:])
         # bit sync on the post-pull-in stream, but bit indices must stay
         # aligned to epoch 0 for transmit-time bookkeeping
@@ -454,7 +528,7 @@ class Receiver:
         for r in recs:
             e_local = e_snap - r.start_epoch  # records may start mid-run
             if (not r.eph.valid()
-                    or e_local >= len(r.ip_hist) or e_local <= 0):
+                    or e_local >= r.n_epochs or e_local <= 0):
                 continue
             # anchor on the LATEST decoded subframe preceding this
             # snapshot (subframes arrive every 6 s; anchoring on the
@@ -475,12 +549,12 @@ class Receiver:
             t = t0 + (a_snap - n_per * CODE_LEN_CHIPS) / CHIP_RATE_HZ
             t_tx.append(t)
             ephs.append(r.eph)
-            ip = np.asarray(r.ip_hist[max(0, e_local - 8): e_local])
+            ip = r.ip_hist[max(0, e_local - 8): e_local]
             weights.append(float(np.mean(np.square(ip))))
             # carrier Doppler at the snapshot, smoothed over the last
             # 100 ms to average PLL jitter (the loop BW is ~18 Hz)
             cfh = r.carrier_freq_hist[max(0, e_local - 100): e_local]
-            dops.append(float(np.mean(cfh)) if cfh else np.nan)
+            dops.append(float(np.mean(cfh)) if len(cfh) else np.nan)
             used.append(r)
         if len(t_tx) < 4:
             return None
@@ -507,3 +581,17 @@ class Receiver:
             except np.linalg.LinAlgError:
                 pass
         return sol
+
+
+_PACK_FN = None
+
+
+def _pack_out(out: tc.EpochOut):
+    """Stack the four per-epoch output planes for ONE device->host fetch."""
+    global _PACK_FN
+    if _PACK_FN is None:
+        import jax
+        import jax.numpy as jnp
+        _PACK_FN = jax.jit(lambda o: jnp.stack(
+            [o.ip, o.qp, o.code_freq, o.carrier_freq]).astype(jnp.float32))
+    return _PACK_FN(out)
