@@ -27,18 +27,44 @@ print(f"scene synth: {time.perf_counter()-t0:.1f}s "
 
 cfg = ReceiverConfig(fs=E.FS, fc=E.FS / 4, max_fo=5000.0, fft_len=4096,
                      snr_threshold=20.0, num_chans=12)
-recv = Receiver(cfg)
-t0 = time.perf_counter()
-res = recv.process_iq(iq)
-wall = time.perf_counter() - t0
-print(f"receiver: {wall:.1f}s wall for {duration:.0f}s of capture "
-      f"({duration/wall:.2f}x realtime)", flush=True)
+
+# run twice: the first pass populates the persistent compile cache (and
+# in-process jit caches); the second measures steady-state — the number
+# that matters for a long-running receiver
+walls = []
+for attempt in range(2):
+    recv = Receiver(cfg)
+    metrics.METRICS.timings.clear()
+    metrics.METRICS.counters.clear()
+    t0 = time.perf_counter()
+    res = recv.process_iq(iq, max_channels=8)
+    walls.append(time.perf_counter() - t0)
+    print(f"pass {attempt}: {walls[-1]:.1f}s wall for {duration:.0f}s of "
+          f"capture ({duration/walls[-1]:.2f}x realtime)", flush=True)
+
+wall = walls[-1]
 print(f"detections: {[(d['prn'], round(d['snr'])) for d in res.detections]}")
 print(f"solutions: {len(res.solutions)}")
+err = None
 if res.solutions:
     s = res.solutions[-1]
-    err = np.linalg.norm(np.array([s.x, s.y, s.z]) - rx)
+    err = float(np.linalg.norm(np.array([s.x, s.y, s.z]) - rx))
     print(f"final fix error: {err:.1f} m  "
           f"(lat {s.lat_deg:.5f} lon {s.lon_deg:.5f} alt {s.alt_m:.0f})")
 print(metrics.METRICS.report())
+
+import json
+artifact = dict(metric="e2e_realtime_factor",
+                value=round(duration / wall, 2), unit="x_realtime",
+                wall_s=round(wall, 2), capture_s=duration,
+                cold_wall_s=round(walls[0], 2),
+                n_solutions=len(res.solutions),
+                final_fix_error_m=round(err, 1) if err is not None else None,
+                stages={k: round(sum(v), 3)
+                        for k, v in metrics.METRICS.timings.items()})
+out_path = os.path.join(os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))), "BENCH_e2e.json")
+with open(out_path, "w") as f:
+    json.dump(artifact, f, indent=1)
+print(json.dumps(artifact))
 print("PAYLOAD_DONE")
