@@ -51,39 +51,51 @@ def scene():
 
 
 def build_scene(duration: float = 20.0, n_sv: int = 6, noise: float = 0.7,
-                seed: int = 42):
+                seed: int = 42, dropout=None):
     """Consistent multi-SV scene: (iq, ephs, rx_ecef).
 
-    Shared by the e2e tests and tools/e2e_payload.py (the on-hardware
-    demo) so both validate the identical scene recipe.
+    Shared by the e2e tests and tools/e2e_payload.py /
+    tools/soak_payload.py (the on-hardware demos) so all validate the
+    identical scene recipe.  The NAV stream repeats the (4,1,2,3)
+    subframe cycle for as long as ``duration`` needs.
+
+    ``dropout``: optional ``(sv_index, t0_s, t1_s)`` — that SV's signal
+    vanishes over [t0, t1) of receiver time (antenna blockage), for
+    watchdog / re-acquisition soaks.
     """
     rng = np.random.default_rng(seed)
     ephs = make_constellation(n_sv, t_oe=T_OE)
     rx = ps.geodetic_to_ecef(*TRUTH_LLA)
 
     # Receiver timeline: `duration` s starting t_rx0.  Each SV's NAV
-    # stream is [sf4, sf1, sf2, sf3]; t_rx0 is chosen so t_sv0 lands
+    # stream cycles [sf4, sf1, sf2, sf3]; t_rx0 is chosen so t_sv0 lands
     # ~1.5 s before the next subframe boundary: the receiver locks
     # during the sf4 filler, then catches complete subframes 1-3.
     n = int(duration * FS)
-    t_knots = np.linspace(0, duration, 41)
+    t_knots = np.linspace(0, duration, max(41, int(3 * duration)))
+    fit_deg = max(3, int(duration // 12))
 
     # t_sv ~= t_rx - 75 ms; 302488.525 is 1.475 s before the 302490 grid
     t_rx0 = T_OE + 88.6
+    n_sf = int(np.ceil(duration / 6.0)) + 2
+    sids = tuple(([4, 1, 2, 3] * ((n_sf + 3) // 4))[:n_sf])
     iq = np.zeros(n, dtype=np.complex64)
     for k, eph in enumerate(ephs):
         tsv_k = sv_time_knots(eph, rx, t_rx0 + t_knots)
-        poly = np.polynomial.Polynomial.fit(t_knots, tsv_k, deg=3)
+        poly = np.polynomial.Polynomial.fit(t_knots, tsv_k, deg=fit_deg)
         t = np.arange(n, dtype=np.float64) / FS
         tsv = poly(t)
         # stream origin: the subframe boundary below t_sv0 (sf4 filler
         # occupies [sf0, sf0+6); t_sv0 lands ~4.5 s into it)
         sf0 = 6.0 * np.floor(tsv[0] / 6.0)
         tow0 = int(sf0 / 6.0) + 1
-        frames = encode_subframes(eph, tow_start=tow0, sids=(4, 1, 2, 3))
+        frames = encode_subframes(eph, tow_start=tow0, sids=sids)
         stream = np.concatenate(frames)
-        iq += synth.synth_from_sv_time(
+        sig = synth.synth_from_sv_time(
             eph_prn(k), tsv, stream, sf0, FS, amplitude=1.0)
+        if dropout is not None and dropout[0] == k:
+            sig[int(dropout[1] * FS): int(dropout[2] * FS)] = 0.0
+        iq += sig
     iq += (noise * (rng.standard_normal(n) + 1j * rng.standard_normal(n))
            / np.sqrt(2)).astype(np.complex64)
     return iq, ephs, rx

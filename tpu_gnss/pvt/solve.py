@@ -73,6 +73,10 @@ class Solution:
     # NMEA-emission metadata, attached by the receiver (cli.nmea_out):
     sats: Optional[list] = None   # [{prn, elev_deg, az_deg, cn0_dbhz, used}]
     dops: Optional[dict] = None   # {pdop, hdop, vdop, gdop}
+    # receiver epoch (1 ms units) of the snapshot this fix came from,
+    # attached by the receiver — lets soak tests assert the 4 s fix
+    # cadence (reference solver cadence: c/solve.cpp:300)
+    snap_epoch: Optional[int] = None
 
 
 def solve_position(t_tx: np.ndarray, ephs: Sequence[Ephemeris],

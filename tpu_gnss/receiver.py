@@ -412,6 +412,7 @@ class Receiver:
             for e_snap in snap_epochs:
                 sol = self._solve_at(recs, e_snap)
                 if sol is not None:
+                    sol.snap_epoch = e_snap
                     solutions.append(sol)
         return ReceiverResult(detections=first_dets, channels=recs,
                               solutions=solutions)
