@@ -175,6 +175,25 @@ def test_compare_tracks_closes_loop(tmp_path):
     assert cmp["d_total_m"] < 1.5
 
 
+def test_compare_cli_two_files(tmp_path, capsys):
+    """`cli.nmea A --compare B` prints offset stats between two tracks."""
+    import json as _json
+    from tpu_gnss.cli import nmea_out
+    a = tmp_path / "a.nmea"
+    b = tmp_path / "b.nmea"
+    nmea_out.write_track(str(a), [_fake_solution() for _ in range(3)],
+                         week=2345)
+    nmea_out.write_track(str(b), [_fake_solution(lat=52.9501)
+                                  for _ in range(3)], week=2345)
+    rc = nmea.main([str(a), "--compare", str(b)])
+    out = capsys.readouterr().out.strip().splitlines()[-1]
+    cmp = _json.loads(out)
+    assert rc == 0
+    assert cmp["n"] == 3
+    # ~0.0001 deg latitude offset ~ 11 m north
+    assert 5.0 < abs(cmp["d_north_m"]) < 20.0
+
+
 def test_sat_geometry_dops():
     from tpu_gnss.cli import nmea_out
     from tpu_gnss.pvt import solve as ps

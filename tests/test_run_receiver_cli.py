@@ -1,0 +1,47 @@
+"""Smoke test for the full-receiver CLI (the live `gps` binary analog).
+
+Regression: the ChannelRecord history refactor (python lists -> ndarray
+properties) broke `if r.ip_hist` truth-tests in the CLI dashboard and
+--iq-log paths with "truth value of an array is ambiguous" — no test
+drove the CLI end-to-end.  This one runs main() in-process on a short
+1-bit capture and exercises the dashboard, IQ log, NMEA and checkpoint
+paths.
+"""
+
+import numpy as np
+import pytest
+
+from tpu_gnss.cli import run_receiver
+from tpu_gnss.io import loaders
+from tpu_gnss.signal.synth import baseband_to_1bit_if
+
+from .test_e2e import FS, build_scene
+
+
+@pytest.mark.slow
+def test_run_receiver_cli_smoke(tmp_path, capsys):
+    iq, ephs, rx = build_scene(duration=8.0)
+    fc = FS / 4
+    cap = tmp_path / "cap.bin"
+    cap.write_bytes(loaders.pack_1bit(baseband_to_1bit_if(iq, fc, FS)))
+
+    iq_log = tmp_path / "iq.npz"
+    nmea = tmp_path / "track.nmea"
+    ckpt = tmp_path / "state.npz"
+    rc = run_receiver.main([
+        str(cap), str(fc), str(FS), "5000",
+        "--fft-len", "4096", "--threshold", "17",
+        "--iq-log", str(iq_log), "--nmea-out", str(nmea),
+        "--checkpoint", str(ckpt)])
+    out = capsys.readouterr().out
+    assert rc == 0
+    assert "acquired" in out
+    # channels tracked -> dashboard bars printed (the crash path)
+    assert "PRN" in out
+    assert iq_log.exists()
+    d = np.load(iq_log)
+    assert any(k.endswith("_ip") for k in d.files), d.files
+    assert ckpt.exists()
+    # 8 s cold cannot fix -> no sentences, but the file path must have
+    # been handled without error
+    assert "NMEA sentences" in out

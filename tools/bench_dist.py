@@ -22,7 +22,10 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 def _write_artifact(path, metric, results, key):
     """Persist a driver-visible scaling artifact (VERDICT r1 weak #4)."""
-    if not path:
+    if not path or not results:
+        if path:
+            print("# no results to write; artifact not updated",
+                  file=sys.stderr)
         return
     last = results[-1]
     with open(path, "w") as f:
@@ -85,7 +88,10 @@ def multiprocess_bench(processes, blocks_per_dev: int, cpu_devices: int,
         work = n_blk * 32 * 21 * 2048
         tput = work / wall
         if t1 is None:
-            t1 = tput / n_proc   # per-process baseline from the first row
+            # per-process baseline from the first row — efficiency is
+            # relative to THAT row scaling linearly (run `--processes 1
+            # ...` for true vs-1-process efficiency)
+            t1 = tput / n_proc
         eff = tput / (t1 * n_proc)
         results.append(dict(processes=n_proc,
                             devices=n_dev,

@@ -347,21 +347,6 @@ def reduce_grid(pwr: jnp.ndarray, dops_hz: jnp.ndarray) -> FoldedResult:
 
 @functools.partial(
     jax.jit,
-    static_argnames=("fs", "lo_rate", "n_coherent", "dop_chunk",
-                     "from_bits", "period"))
-def _power_grid_jit(samples: jnp.ndarray, code_ffts_p: jnp.ndarray,
-                    dops_hz: jnp.ndarray, *, fs: float, lo_rate: float,
-                    n_coherent: int, dop_chunk: int,
-                    from_bits: bool, period: int = 0) -> jnp.ndarray:
-    iq = (mix_baseband(samples, lo_rate) if from_bits
-          else samples.astype(jnp.complex64))
-    return fold_power_grid(iq, code_ffts_p, dops_hz, fs=fs,
-                           n_coherent=n_coherent, dop_chunk=dop_chunk,
-                           period=period)
-
-
-@functools.partial(
-    jax.jit,
     static_argnames=("fs", "lo_rate", "n_coherent", "n_noncoherent",
                      "dop_chunk", "from_bits", "period"))
 def _power_grid_sum_jit(samples: jnp.ndarray, code_ffts_p: jnp.ndarray,

@@ -12,6 +12,7 @@ NMEA track and this framework's PVT solutions.
 from __future__ import annotations
 
 import dataclasses
+import json
 import sys
 from typing import Iterator, Optional
 
@@ -275,7 +276,28 @@ def main(argv=None) -> int:
     p.add_argument("source", help="NMEA file, '-' for stdin, or /dev/tty*")
     p.add_argument("--every", type=int, default=20,
                    help="print a dashboard every N sentences")
+    p.add_argument("--compare", metavar="OTHER.nmea", default=None,
+                   help="compare SOURCE's fix track against a second "
+                        "NMEA file (e.g. a commercial receiver's log vs "
+                        "our run_receiver --nmea-out) and print offset "
+                        "statistics in meters")
     args = p.parse_args(argv)
+
+    if args.compare:
+        tracks = []
+        for path in (args.source, args.compare):
+            st = NmeaState()
+            for line in read_sentences(path):
+                st.feed(line)
+            tracks.append(st.fixes)
+
+        class _Fix:   # adapt fix tuples to compare_tracks' solution shape
+            def __init__(self, f):
+                self.lat_deg, self.lon_deg = f[1], f[2]
+
+        cmp = compare_tracks(tracks[0], [_Fix(f) for f in tracks[1]])
+        print(json.dumps(cmp))
+        return 0 if cmp.get("n") else 1
 
     st = NmeaState()
     src = sys.stdin if args.source == "-" else args.source

@@ -99,18 +99,14 @@ def sat_geometry(rx_ecef: np.ndarray, sv_ecef: np.ndarray
     design matrix (same LOS geometry as the solver's Jacobian,
     reference: c/solve.cpp:191-202).
     """
+    from ..pvt.iono import ecef_to_enu
     rx = np.asarray(rx_ecef, np.float64)
     sv = np.asarray(sv_ecef, np.float64).reshape(-1, 3)
     lat, lon, _ = lat_lon_alt(rx[0], rx[1], rx[2])
-    sl, cl = np.sin(lon), np.cos(lon)
-    sp, cp = np.sin(lat), np.cos(lat)
-    enu_rows = np.array([[-sl, cl, 0.0],
-                         [-sp * cl, -sp * sl, cp],
-                         [cp * cl, cp * sl, sp]])
     d = sv - rx[None, :]
-    rng = np.linalg.norm(d, axis=1)
-    u = d / rng[:, None]
-    enu = u @ enu_rows.T                       # [n, 3] east/north/up
+    u = d / np.linalg.norm(d, axis=1)[:, None]
+    # one geodesy implementation: the solver's iono path owns ECEF->ENU
+    enu = np.stack([ecef_to_enu(rx, lat, lon, ui) for ui in u])
     elev = np.degrees(np.arcsin(np.clip(enu[:, 2], -1.0, 1.0)))
     az = np.degrees(np.arctan2(enu[:, 0], enu[:, 1])) % 360.0
     dops = {}

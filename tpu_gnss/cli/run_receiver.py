@@ -33,6 +33,8 @@ def main(argv=None) -> int:
                    help="seconds of capture to process")
     p.add_argument("--threshold", type=float, default=25.0)
     p.add_argument("--channels", type=int, default=12)
+    p.add_argument("--fft-len", type=int, default=40000,
+                   help="acquisition window length in samples")
     p.add_argument("--checkpoint", default=None,
                    help="write receiver state (npz) here at the end")
     p.add_argument("--iq-log", default=None, metavar="FILE.npz",
@@ -57,6 +59,7 @@ def main(argv=None) -> int:
               file=sys.stderr)
         return 2
     cfg = ReceiverConfig(fs=args.fs, fc=args.fc, max_fo=args.max_fo,
+                         fft_len=args.fft_len,
                          snr_threshold=args.threshold,
                          num_chans=args.channels)
     if args.format == "1bit":
@@ -85,7 +88,7 @@ def main(argv=None) -> int:
     if live:
         prns = [r.prn for r in live]
         pows = [float(np.mean(np.square(np.asarray(r.ip_hist[-50:]))))
-                if r.ip_hist else 0.0 for r in live]
+                if len(r.ip_hist) else 0.0 for r in live]
         stat = []
         for r in live:
             base = ("eph" if r.eph.valid() else
@@ -111,7 +114,7 @@ def main(argv=None) -> int:
               "must span >=3 subframes / ~18 s of NAV data)")
 
     if args.iq_log:
-        tracked = [r for r in result.channels if r.ip_hist]
+        tracked = [r for r in result.channels if len(r.ip_hist)]
         if tracked:
             metrics.save_iq_log(args.iq_log, tracked)
             best = max(tracked, key=lambda r: float(

@@ -193,7 +193,6 @@ class Receiver:
         # planes (4x less traffic, dequantized on device), "float32"
         # sends exact planes
         self.transfer_dtype = transfer_dtype
-        self._q_scale: Optional[float] = None
 
     # ------------------------------------------------------------------
     def _cold_detections(self, head, bits: bool = False) -> list:
@@ -339,9 +338,17 @@ class Receiver:
             with METRICS.stage("receiver.drain"):
                 arr = np.asarray(out_dev)        # [4, n_ep, n_chan]
             ip, qp, cf, caf = arr
+            # skip channels the PREVIOUS drain declared lost (their slot
+            # was stopped; this chunk's column is post-loss garbage), and
+            # copy the column slices — views would pin the whole all-slot
+            # chunk buffer in memory for the run's lifetime
             for r in snapshot:
-                r.append_hist(ip[:, r.ch], qp[:, r.ch], cf[:, r.ch],
-                              caf[:, r.ch], t_epoch)
+                if r.lost:
+                    continue
+                r.append_hist(np.ascontiguousarray(ip[:, r.ch]),
+                              np.ascontiguousarray(qp[:, r.ch]),
+                              np.ascontiguousarray(cf[:, r.ch]),
+                              np.ascontiguousarray(caf[:, r.ch]), t_epoch)
             # watchdog: free dead channels + their slots (SignalLost)
             self._watchdog([r for r in snapshot if not r.lost])
             stopped = False
@@ -427,11 +434,14 @@ class Receiver:
         blk = np.ascontiguousarray(blk)
         if self.transfer_dtype == "int8":
             from .utils.xfer import to_device_complex_i8
-            if self._q_scale is None:
-                rms = float(np.sqrt(np.mean(np.abs(blk[:65536]) ** 2)))
-                self._q_scale = 127.0 / (6.0 * rms) if rms > 0 else 1.0
+            # per-chunk 6-sigma scale: adapts to level drift and never
+            # pins a degenerate scale from a quiet capture start (the
+            # dequantize divides it back out on device, and the scale is
+            # a traced argument — no retrace on change)
+            rms = float(np.sqrt(np.mean(np.abs(blk[:65536]) ** 2)))
+            scale = 127.0 / (6.0 * rms) if rms > 1e-12 else 1.0
             try:
-                return to_device_complex_i8(blk, self._q_scale)
+                return to_device_complex_i8(blk, scale)
             except Exception:
                 # backend without int8 transfer support: fall back once
                 self.transfer_dtype = "float32"

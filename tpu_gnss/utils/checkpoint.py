@@ -24,6 +24,15 @@ _EPH_FIELDS = [f.name for f in dataclasses.fields(Ephemeris)
                if f.name not in ("alpha", "beta")]
 
 
+def _np_scalar(o):
+    """JSON fallback: detections/meta may carry numpy scalars."""
+    if isinstance(o, np.integer):
+        return int(o)
+    if isinstance(o, np.floating):
+        return float(o)
+    raise TypeError(f"not JSON serializable: {type(o).__name__}")
+
+
 def save_state(path: str, *, ephemerides: Optional[dict] = None,
                channel_state: Optional[ChannelState] = None,
                detections: Optional[list] = None,
@@ -52,10 +61,11 @@ def save_state(path: str, *, ephemerides: Optional[dict] = None,
             payload[f"chan_{name}"] = np.asarray(arr)
     if detections is not None:
         payload["detections_json"] = np.frombuffer(
-            json.dumps(detections).encode(), dtype=np.uint8)
+            json.dumps(detections, default=_np_scalar).encode(),
+            dtype=np.uint8)
     if meta is not None:
         payload["meta_json"] = np.frombuffer(
-            json.dumps(meta).encode(), dtype=np.uint8)
+            json.dumps(meta, default=_np_scalar).encode(), dtype=np.uint8)
     np.savez_compressed(path, **payload)
 
 
