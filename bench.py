@@ -103,7 +103,8 @@ def _run_with_retries() -> int:
     """
     import subprocess
     import time as _time
-    for attempt in range(6):
+    n_tries = 10
+    for attempt in range(n_tries):
         try:
             out = subprocess.run(
                 [sys.executable, "-u", __file__, "--inner"],
@@ -114,8 +115,10 @@ def _run_with_retries() -> int:
                     return 0
         except subprocess.TimeoutExpired:
             pass
-        if attempt < 5:
-            _time.sleep(60)  # let the device tunnel recover
+        if attempt < n_tries - 1:
+            # tunnel outages have been observed to last tens of minutes;
+            # total patience here is ~1 h
+            _time.sleep(120)
     print(json.dumps({"metric": "acquisition_throughput", "value": 0,
                       "unit": "Msample*PRN*bin/s", "vs_baseline": 0,
                       "error": "device unavailable after retries"}))

@@ -36,6 +36,21 @@ def test_mix_packed_matches_mix_baseband(cfg, rng):
     np.testing.assert_allclose(got, want, atol=1e-6)
 
 
+def test_mix_packed_phase_continuity(rng):
+    """Chunked mix_packed with running phase0 == one whole-capture mix."""
+    cfg = NOTTINGHAM
+    n, chunk = 64000, 16000          # word-aligned chunks
+    bits = rng.integers(0, 2, n).astype(np.uint8)
+    want = np.asarray(mix_baseband(jnp.asarray(bits), cfg.lo_rate))
+    got = np.concatenate([
+        np.asarray(onebit.mix_packed(
+            jnp.asarray(onebit.pack_bits_to_words(bits[i:i + chunk])),
+            n_bits=chunk, lo_rate=cfg.lo_rate,
+            phase0_quarters=jnp.float32((i * float(cfg.lo_rate)) % 4.0)))
+        for i in range(0, n, chunk)])
+    np.testing.assert_allclose(got, want, atol=1e-5)
+
+
 def test_pack_bits_planes_layout(rng):
     bits = rng.integers(0, 2, 4096 * 2).astype(np.uint8)
     words = onebit.pack_bits_planes(bits)

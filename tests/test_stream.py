@@ -66,6 +66,48 @@ def test_prefetcher_order(tmp_path, rng):
         np.testing.assert_array_equal(a, b)
 
 
+def test_receiver_packed_path_equals_bits_path(tmp_path, rng):
+    """The packed-word uplink (1 bit/sample) must be bit-identical to
+    the unpacked-bytes uplink end to end: same mix math on device, same
+    detections, same correlator histories."""
+    from tpu_gnss.receiver import Receiver
+
+    fs = SMALL.fs
+    svs = [synth.SvSignal(prn=9, doppler_hz=500.0, code_phase_chips=300.0),
+           synth.SvSignal(prn=17, doppler_hz=-1200.0, code_phase_chips=10.0)]
+    iq = synth.synth_baseband(svs, fs, int(3.0 * fs), noise_std=0.4, seed=4)
+    bits = synth.baseband_to_1bit_if(iq, SMALL.fc, fs)
+    path = tmp_path / "cap.bin"
+    path.write_bytes(loaders.pack_1bit(bits))
+
+    class NoPacked(stream.SampleSource):
+        """Same file source with the packed uplink hidden."""
+        def __init__(self, inner):
+            self._inner = inner
+            self.fs = inner.fs
+        def blocks(self, block_len):
+            return self._inner.blocks(block_len)
+        def bit_blocks(self, block_len):
+            return self._inner.bit_blocks(block_len)
+
+    res_p = Receiver(SMALL).process_source(
+        stream.FileSource1Bit(str(path), SMALL), chunk_s=1.0)
+    res_b = Receiver(SMALL).process_source(
+        NoPacked(stream.FileSource1Bit(str(path), SMALL)), chunk_s=1.0)
+
+    assert ([d["prn"] for d in res_p.detections]
+            == [d["prn"] for d in res_b.detections])
+    assert len(res_p.channels) == len(res_b.channels)
+    for a, b in zip(res_p.channels, res_b.channels):
+        assert (a.prn, a.start_epoch) == (b.prn, b.start_epoch)
+        # same math, but two distinct XLA programs (packed unpack+mix vs
+        # byte mix) fuse differently -> last-ulp rounding drift only
+        np.testing.assert_allclose(a.ip_hist, b.ip_hist,
+                                   rtol=2e-4, atol=0.5)
+        np.testing.assert_allclose(a.code_freq_hist, b.code_freq_hist,
+                                   rtol=2e-4, atol=1e-3)
+
+
 def test_receiver_process_source_smoke():
     """Streaming receiver over a synth source: acquires and tracks."""
     from tpu_gnss.receiver import Receiver

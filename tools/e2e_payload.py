@@ -13,13 +13,26 @@ import numpy as np
 from tpu_gnss.utils.jaxcache import enable_persistent_cache
 enable_persistent_cache()
 
+# fail fast if the (tunneled) device is unreachable — before the
+# expensive host-side scene synthesis, so retries are cheap
+import jax, jax.numpy as jnp
+t0 = time.perf_counter()
+print("alive:", np.asarray(jnp.arange(2) + 1),
+      f"({time.perf_counter()-t0:.1f}s)", flush=True)
+
 from tpu_gnss.config import ReceiverConfig
 from tpu_gnss.receiver import Receiver
 from tpu_gnss.utils import metrics
 import tests.test_e2e as E
 
 t0 = time.perf_counter()
-iq, ephs, rx = E.build_scene()
+_cache = "/tmp/e2e_scene_20s.npz"
+if os.path.exists(_cache):
+    _z = np.load(_cache)
+    iq, rx = _z["iq"], _z["rx"]
+else:
+    iq, ephs, rx = E.build_scene()
+    np.savez(_cache, iq=iq, rx=np.asarray(rx))
 duration = len(iq) / E.FS
 print(f"scene synth: {time.perf_counter()-t0:.1f}s "
       f"({duration:.0f}s of 6-SV baseband at {E.FS/1e6:.3f} Msps)",
@@ -28,19 +41,49 @@ print(f"scene synth: {time.perf_counter()-t0:.1f}s "
 cfg = ReceiverConfig(fs=E.FS, fc=E.FS / 4, max_fo=5000.0, fft_len=4096,
                      snr_threshold=20.0, num_chans=12)
 
-# run twice: the first pass populates the persistent compile cache (and
-# in-process jit caches); the second measures steady-state — the number
-# that matters for a long-running receiver
-walls = []
+# The HEADLINE path is the reference's actual input format: a 1-bit
+# hard-limited IF capture file (c/search_offline.cpp's world).  The
+# receiver streams the file's own packed words to the device (1
+# bit/sample -- 16x less tunnel traffic than int8 complex planes) and
+# unpacks+mixes there — the TPU analog of the FPGA front end.
+from tpu_gnss.io import loaders
+from tpu_gnss.io.stream import FileSource1Bit
+
+fc_if = E.FS / 4
+bit_path = "/tmp/e2e_scene_20s_1bit.bin"
+if not os.path.exists(bit_path):
+    from tpu_gnss.signal.synth import baseband_to_1bit_if
+    with open(bit_path, "wb") as f:
+        f.write(loaders.pack_1bit(baseband_to_1bit_if(iq, fc_if, E.FS)))
+cfg_1bit = ReceiverConfig(fs=E.FS, fc=fc_if, max_fo=5000.0, fft_len=4096,
+                          snr_threshold=17.0, num_chans=12)
+
+# run each path twice: the first pass populates the persistent compile
+# cache (and in-process jit caches); the second measures steady-state —
+# the number that matters for a long-running receiver
+walls, walls_iq = [], []
+for attempt in range(2):
+    recv = Receiver(cfg_1bit)
+    metrics.METRICS.timings.clear()
+    metrics.METRICS.counters.clear()
+    t0 = time.perf_counter()
+    res = recv.process_source(FileSource1Bit(bit_path, cfg_1bit),
+                              max_channels=8, chunk_s=2.0)
+    walls.append(time.perf_counter() - t0)
+    print(f"1bit pass {attempt}: {walls[-1]:.1f}s wall for {duration:.0f}s "
+          f"of capture ({duration/walls[-1]:.2f}x realtime)", flush=True)
+stages_1bit = {k: round(sum(v), 3)
+               for k, v in metrics.METRICS.timings.items()}
+
 for attempt in range(2):
     recv = Receiver(cfg)
     metrics.METRICS.timings.clear()
     metrics.METRICS.counters.clear()
     t0 = time.perf_counter()
-    res = recv.process_iq(iq, max_channels=8)
-    walls.append(time.perf_counter() - t0)
-    print(f"pass {attempt}: {walls[-1]:.1f}s wall for {duration:.0f}s of "
-          f"capture ({duration/walls[-1]:.2f}x realtime)", flush=True)
+    res_iq = recv.process_iq(iq, max_channels=8)
+    walls_iq.append(time.perf_counter() - t0)
+    print(f"iq pass {attempt}: {walls_iq[-1]:.1f}s wall for {duration:.0f}s "
+          f"of capture ({duration/walls_iq[-1]:.2f}x realtime)", flush=True)
 
 wall = walls[-1]
 print(f"detections: {[(d['prn'], round(d['snr'])) for d in res.detections]}")
@@ -58,10 +101,12 @@ artifact = dict(metric="e2e_realtime_factor",
                 value=round(duration / wall, 2), unit="x_realtime",
                 wall_s=round(wall, 2), capture_s=duration,
                 cold_wall_s=round(walls[0], 2),
+                input="1bit_if_file_packed_uplink",
+                iq_path_realtime_factor=round(duration / walls_iq[-1], 2),
+                iq_path_wall_s=round(walls_iq[-1], 2),
                 n_solutions=len(res.solutions),
                 final_fix_error_m=round(err, 1) if err is not None else None,
-                stages={k: round(sum(v), 3)
-                        for k, v in metrics.METRICS.timings.items()})
+                stages=stages_1bit)
 out_path = os.path.join(os.path.dirname(os.path.dirname(
     os.path.abspath(__file__))), "BENCH_e2e.json")
 with open(out_path, "w") as f:

@@ -21,6 +21,12 @@ import numpy as np
 from tpu_gnss.utils.jaxcache import enable_persistent_cache
 enable_persistent_cache()
 
+# fail fast if the device is unreachable, before scene synthesis
+import jax, jax.numpy as jnp
+_t0 = time.perf_counter()
+print("alive:", np.asarray(jnp.arange(2) + 1),
+      f"({time.perf_counter()-_t0:.1f}s)", flush=True)
+
 from tpu_gnss.config import ReceiverConfig
 from tpu_gnss.io import loaders
 from tpu_gnss.io.stream import FileSource1Bit
@@ -34,13 +40,17 @@ DROP_SV, DROP_T0, DROP_T1 = 0, 20.0, 28.0
 
 rss0_mb = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1024.0
 t0 = time.perf_counter()
-iq, ephs, rx = E.build_scene(duration=DURATION,
-                             dropout=(DROP_SV, DROP_T0, DROP_T1))
 fc = E.FS / 4
-path = os.path.join(tempfile.gettempdir(), "soak_1bit.bin")
-with open(path, "wb") as f:
-    f.write(loaders.pack_1bit(baseband_to_1bit_if(iq, fc, E.FS)))
-del iq
+path = os.path.join(tempfile.gettempdir(), f"soak_1bit_{int(DURATION)}.bin")
+rx_path = path + ".rx.npy"
+if not (os.path.exists(path) and os.path.exists(rx_path)):
+    iq, ephs, rx = E.build_scene(duration=DURATION,
+                                 dropout=(DROP_SV, DROP_T0, DROP_T1))
+    with open(path, "wb") as f:
+        f.write(loaders.pack_1bit(baseband_to_1bit_if(iq, fc, E.FS)))
+    np.save(rx_path, np.asarray(rx))
+    del iq
+rx = np.load(rx_path)
 print(f"scene synth + 1-bit pack: {time.perf_counter()-t0:.1f}s "
       f"({DURATION:.0f}s of 6-SV IF at {E.FS/1e6:.3f} Msps, "
       f"{os.path.getsize(path)/1e6:.1f} MB packed, dropout SV idx "

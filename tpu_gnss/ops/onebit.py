@@ -61,33 +61,22 @@ def unpack_bits_planes(words: jnp.ndarray, n_bits: int) -> jnp.ndarray:
     return bits.reshape(-1)[:n_bits].astype(jnp.int32)
 
 
-def _lo_signs(p: jnp.ndarray, tbl) -> jnp.ndarray:
-    """(-1)^tbl[p] for a 4-phase {0,1} table, via selects."""
-    s = jnp.ones_like(p, dtype=jnp.float32)
-    for ph in range(4):
-        val = jnp.float32(1.0 - 2.0 * tbl[ph])
-        s = jnp.where(p == ph, val, s)
-    return s
-
-
 @functools.partial(jax.jit,
                    static_argnames=("n_bits", "lo_rate", "variant"))
 def mix_packed(words: jnp.ndarray, *, n_bits: int, lo_rate: float,
-               variant: str = "offline") -> jnp.ndarray:
+               variant: str = "offline",
+               phase0_quarters=0.0) -> jnp.ndarray:
     """Packed words -> complex64 baseband (XLA path).
 
-    Matches :func:`tpu_gnss.acquire.search.mix_baseband` exactly on the
-    same bits (same exact-ramp LO phase).
+    Bit-exact with :func:`tpu_gnss.acquire.search.mix_baseband` on the
+    same bits by construction (unpack + that very mix in one jit).
+    ``phase0_quarters`` keeps the LO continuous across streamed chunks
+    (traced scalar; see mix_baseband).
     """
-    from ..acquire.search import _phase_mod4
-    from ..io.loaders import LO_TABLES
-    i_tbl, q_tbl = LO_TABLES[variant]
+    from ..acquire.search import mix_baseband
     bits = unpack_bits(words, n_bits)
-    i_idx = jax.lax.broadcasted_iota(jnp.int32, (n_bits, 1), 0).squeeze(-1)
-    p = _phase_mod4(i_idx, lo_rate).astype(jnp.int32)
-    s = (1 - 2 * bits).astype(jnp.float32)
-    return (s * _lo_signs(p, i_tbl)
-            + 1j * (s * _lo_signs(p, q_tbl))).astype(jnp.complex64)
+    return mix_baseband(bits, lo_rate, variant,
+                        phase0_quarters=phase0_quarters)
 
 
 # ---------------------------------------------------------------------------

@@ -263,20 +263,26 @@ class Receiver:
         assert int(chunk_s * 1000) % eps == 0, \
             "chunk_s must cover whole tracking steps"
         chunk_len = max(1, int(chunk_s * 1000)) * p
-        # fast path for 1-bit sources: transfer raw {0,1} samples (8x
-        # smaller than complex64) and run the quadrature mix on device
+        # fast path for 1-bit sources: transfer the capture's own packed
+        # words (1 bit/sample — 8x less than unpacked bytes, 64x less
+        # than int8 planes) and run unpack + quadrature mix on device
         # with a running sample offset — host stays at file-I/O speed.
         # Sources configured for the reference's per-block LO phase
         # restart must keep their own (host) mixing.
-        use_bits = (hasattr(source, "bit_blocks")
-                    and not getattr(source, "per_block_phase", False))
-        blocks = iter(Prefetcher(source, chunk_len, bits=use_bits))
+        onebit_src = not getattr(source, "per_block_phase", False)
+        use_packed = (onebit_src and hasattr(source, "packed_blocks")
+                      and chunk_len % 32 == 0)
+        use_bits = (onebit_src and hasattr(source, "bit_blocks")
+                    and not use_packed)
+        mode = "packed" if use_packed else ("bits" if use_bits else "iq")
+        blocks = iter(Prefetcher(source, chunk_len, mode=mode))
+        n_samples = (lambda b: 32 * len(b)) if use_packed else len
 
         with METRICS.stage("receiver.read"):
             first = next(blocks, None)
         if first is None:
             return ReceiverResult(detections=[], channels=[], solutions=[])
-        assert len(first) >= self.searcher.block_len, \
+        assert n_samples(first) >= self.searcher.block_len, \
             "chunk_s too small for the acquisition block"
 
         n_chan = max_channels or cfg.num_chans
@@ -297,8 +303,13 @@ class Receiver:
             free = [ch for ch in range(n_chan) if ch not in live]
             if not free:
                 return []
+            if use_packed:     # acquisition sees {0,1} samples
+                from .io import loaders
+                head = loaders.unpack_1bit(blk.tobytes())[:acq_head_len]
+            else:
+                head = blk[:acq_head_len]
             dets = sorted(
-                self._cold_detections(blk[:acq_head_len], bits=use_bits),
+                self._cold_detections(head, bits=use_bits or use_packed),
                 key=lambda d: -d["snr"])
             tracked = {r.prn for r in live.values()}
             started = []
@@ -361,16 +372,21 @@ class Receiver:
                 reacq_cooldown = reacq_base
                 next_reacq = min(next_reacq, n_dispatched + reacq_base)
 
+        import os as _os
+        import time as _time
+        trace = bool(_os.environ.get("TPU_GNSS_TRACE_CHUNKS"))
         n_dispatched = 0     # epochs sent to the tracker
         pending = None       # previous chunk's (device outputs, records)
         blk = first
+        t_chunk = _time.perf_counter()
         while blk is not None:
-            n_ep = (len(blk) // p // eps) * eps
-            tail_ep = len(blk) // p - n_ep
+            n_samp = n_samples(blk)
+            n_ep = (n_samp // p // eps) * eps
+            tail_ep = n_samp // p - n_ep
             if n_ep == 0:
                 break
             if (n_dispatched >= next_reacq and len(live) < n_chan
-                    and len(blk) >= self.searcher.block_len):
+                    and n_samp >= self.searcher.block_len):
                 with METRICS.stage("receiver.acquire"):
                     started = try_acquire(blk, n_dispatched)
                 # fruitless sky searches back off exponentially (a hit
@@ -382,8 +398,14 @@ class Receiver:
                 next_reacq = n_dispatched + reacq_cooldown
             tables, code_ffts = self._tables_for(tuple(slot_prns), n_chan)
             with METRICS.stage("receiver.transfer"):
-                seg = self._transfer(blk[: n_ep * p], use_bits,
-                                     n_dispatched * p)
+                if use_packed:
+                    # full word-aligned chunks by construction; device
+                    # unpack+mix of the file's own packed words
+                    assert n_ep * p == n_samp
+                    seg = self._mix_chunk_packed(blk, n_dispatched * p)
+                else:
+                    seg = self._transfer(blk[: n_ep * p], use_bits,
+                                         n_dispatched * p)
             with METRICS.stage("receiver.track"):
                 state, out = tc.track_epochs(
                     seg, state, tables, fs=cfg.fs,
@@ -397,6 +419,12 @@ class Receiver:
             if pending is not None:
                 drain(pending)
             pending = new_pending
+            if trace:
+                now = _time.perf_counter()
+                print(f"[chunk] epochs={n_dispatched} chans={len(live)} "
+                      f"dt={now - t_chunk:.2f}s", file=__import__('sys').stderr,
+                      flush=True)
+                t_chunk = now
             if (max_duration_s is not None
                     and n_dispatched * 1e-3 >= max_duration_s):
                 break
@@ -466,6 +494,20 @@ class Receiver:
         import jax.numpy as jnp
         p0 = float((sample0 * float(self.cfg.lo_rate)) % 4.0)
         return self._mix_fn(bits_dev, jnp.float32(p0))
+
+    # ------------------------------------------------------------------
+    def _mix_chunk_packed(self, words: np.ndarray, sample0: int):
+        """Device unpack + mix of a packed uint32 word chunk (jitted).
+
+        1 bit/sample crosses the link; LO phase continuity as in
+        :meth:`_mix_chunk`.
+        """
+        import jax.numpy as jnp
+        from .ops.onebit import mix_packed
+        p0 = float((sample0 * float(self.cfg.lo_rate)) % 4.0)
+        return mix_packed(jnp.asarray(words), n_bits=32 * len(words),
+                          lo_rate=self.cfg.lo_rate,
+                          phase0_quarters=jnp.float32(p0))
 
     # ------------------------------------------------------------------
     def _tables_for(self, slot_key: tuple, n_chan: int):
