@@ -45,3 +45,11 @@ def test_run_receiver_cli_smoke(tmp_path, capsys):
     # 8 s cold cannot fix -> no sentences, but the file path must have
     # been handled without error
     assert "NMEA sentences" in out
+
+
+def test_preset_flag_parses(tmp_path, capsys):
+    """--preset is accepted and the missing-file path errors cleanly."""
+    rc = run_receiver.main([str(tmp_path / "nope.bin"),
+                            "--preset", "synthetic"])
+    assert rc == 2   # clean missing-file error, not a crash
+    assert "not found" in capsys.readouterr().err

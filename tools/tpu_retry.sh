@@ -5,7 +5,9 @@ PAYLOAD_TIMEOUT="${PAYLOAD_TIMEOUT:-480}"
 export JAX_COMPILATION_CACHE_DIR=/root/.jax_cache
 for i in $(seq 1 "$MAX_TRIES"); do
   echo "[tpu_retry] attempt $i probe" >> "$LOG"
-  if timeout 90 python -u -c "import jax,numpy,jax.numpy as jnp; print(numpy.asarray(jax.jit(lambda x:x+1)(jnp.arange(2))))" >> "$LOG" 2>&1; then
+  # generous probe: backend init over the tunnel has been observed to
+  # take 300+ s in otherwise-healthy windows
+  if timeout 330 python -u -c "import jax,numpy,jax.numpy as jnp; print(numpy.asarray(jax.jit(lambda x:x+1)(jnp.arange(2))))" >> "$LOG" 2>&1; then
     echo "[tpu_retry] probe ok; running payload" >> "$LOG"
     if timeout "$PAYLOAD_TIMEOUT" python -u "$PAYLOAD" >> "$LOG" 2>&1; then
       echo "[tpu_retry] payload ok" >> "$LOG"; exit 0

@@ -27,6 +27,11 @@ def main(argv=None) -> int:
     p.add_argument("fc", type=float, nargs="?", default=4.092e6)
     p.add_argument("fs", type=float, nargs="?", default=5.456e6)
     p.add_argument("max_fo", type=float, nargs="?", default=5000.0)
+    p.add_argument("--preset", default=None,
+                   choices=["live", "nottingham", "synthetic", "rtlsdr",
+                            "hackrf"],
+                   help="use a named capture preset for fc/fs/max_fo "
+                        "(overrides the positional values)")
     p.add_argument("--format", choices=["1bit", "iq8", "iqu8"],
                    default="1bit")
     p.add_argument("--duration", type=float, default=None,
@@ -58,6 +63,10 @@ def main(argv=None) -> int:
         print(f"error: capture file not found: {args.filename}",
               file=sys.stderr)
         return 2
+    if args.preset:
+        from ..config import PRESETS
+        base = PRESETS[args.preset]
+        args.fc, args.fs, args.max_fo = base.fc, base.fs, base.max_fo
     cfg = ReceiverConfig(fs=args.fs, fc=args.fc, max_fo=args.max_fo,
                          fft_len=args.fft_len,
                          snr_threshold=args.threshold,
