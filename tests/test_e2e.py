@@ -120,7 +120,10 @@ def test_full_chain_position_fix(scene):
         f"only {len(result.solutions)} fixes from a 20 s capture")
     sol = result.solutions[-1]
     err = np.linalg.norm(np.array([sol.x, sol.y, sol.z]) - np.array(rx))
-    assert err < 100.0, f"position error {err:.1f} m"
+    # deviation-form code NCO keeps the transmit-time chip integral
+    # float32-exact; observed ~1-3 m on this scene (was 11-46 m and
+    # growing ~1.5 m/s with the absolute-rate NCO)
+    assert err < 25.0, f"position error {err:.1f} m"
     # receiver time recovered to ~ the code-tracking jitter level
     # t_rx at the snapshot epoch: truth = t_rx0 + epoch*1ms
     # (validated implicitly by err; explicit check on lat/lon)
@@ -191,4 +194,4 @@ def test_full_chain_from_1bit_if(scene, tmp_path):
     assert res.solutions, "no fix through the 1-bit chain"
     sol = res.solutions[-1]
     err = np.linalg.norm(np.array([sol.x, sol.y, sol.z]) - np.array(rx))
-    assert err < 250.0, f"position error {err:.1f} m through 1-bit front end"
+    assert err < 60.0, f"position error {err:.1f} m through 1-bit front end"

@@ -104,7 +104,7 @@ def test_inactive_channels_untouched():
     final, out = _run_bank(svs, 50, n_chan=4)
     assert not bool(np.asarray(final.active)[3])
     assert float(np.asarray(final.pwr_avg)[3]) == 0.0
-    assert float(np.asarray(final.code_freq)[3]) == CHIP_RATE_HZ
+    assert float(np.asarray(final.code_dev)[3]) == 0.0
 
 
 def test_carrier_pull_in():

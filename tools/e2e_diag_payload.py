@@ -66,7 +66,7 @@ for i in range(3):
                                  dll_gains=g2, epochs_per_step=10,
                                  code_ffts=code_ffts)
     arr = np.asarray(jnp.stack(
-        [out.ip, out.qp, out.code_freq, out.carrier_freq]))
+        [out.ip, out.qp, out.code_dev, out.carrier_freq]))
     print(f"track 2s/12ch pass {i}: {time.perf_counter()-t0:.1f}s "
           f"(drain {arr.nbytes/1e3:.0f} kB)", flush=True)
 

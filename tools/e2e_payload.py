@@ -68,7 +68,7 @@ for attempt in range(2):
     metrics.METRICS.counters.clear()
     t0 = time.perf_counter()
     res = recv.process_source(FileSource1Bit(bit_path, cfg_1bit),
-                              max_channels=8, chunk_s=2.0)
+                              max_channels=8, chunk_s=4.0)
     walls.append(time.perf_counter() - t0)
     print(f"1bit pass {attempt}: {walls[-1]:.1f}s wall for {duration:.0f}s "
           f"of capture ({duration/walls[-1]:.2f}x realtime)", flush=True)

@@ -285,6 +285,83 @@ def acquire_folded_batch_mxu(samples: jnp.ndarray, cw_r: jnp.ndarray,
 
 @functools.partial(
     jax.jit,
+    static_argnames=("fs", "lo_rate", "n_coherent", "n_noncoherent",
+                     "dop_chunk", "period", "nf", "from_bits", "interpret"))
+def acquire_refined_mxu(samples: jnp.ndarray, cw_r: jnp.ndarray,
+                        cw_i: jnp.ndarray, code_ffts_p: jnp.ndarray,
+                        dops_hz: jnp.ndarray, *, fs: float, lo_rate: float,
+                        n_coherent: int, n_noncoherent: int = 1,
+                        dop_chunk: int = 64, from_bits: bool = False,
+                        period: int = 0, nf: int = 0,
+                        interpret: bool = False):
+    """ONE-round-trip acquisition: kernel grid reduce + on-device refine.
+
+    The fused MXU kernel reduces the full (SV x Doppler) grid to per-SV
+    bests; a narrow +-2-bin window around every SV's best is then
+    re-correlated and parabola-refined ON DEVICE (sub-bin Doppler,
+    sub-sample code phase — the same arithmetic as :func:`refine_peak`).
+    Returns ``(snr, doppler_hz, ca_shift)`` each ``[n_sv]`` float32 — a
+    single tiny host fetch, where the two-pass path pays a full tunnel
+    round trip for the detection fetch and another for the window grid.
+
+    ``n_noncoherent > 1`` sums that many consecutive coherent blocks'
+    powers (kernel-side for the main grid, XLA-side for the window).
+    """
+    iq = (mix_baseband(samples, lo_rate) if from_bits
+          else samples.astype(jnp.complex64))
+    block = n_coherent * period
+    blocks = iq[: n_noncoherent * block].reshape(n_noncoherent, block)
+    pk, lg, tt = _corr_reduce_grid_mxu(
+        blocks, cw_r, cw_i, dops_hz, fs=fs, n_coherent=n_coherent,
+        dop_chunk=dop_chunk, period=period, nf=nf, interpret=interpret,
+        accumulate=True)
+    n_dop = dops_hz.shape[0]
+    snr_grid = (pk / (tt / period))[0, :, :n_dop]      # [sv, dop]
+    centers = dops_hz[snr_grid.argmax(axis=-1)]        # [sv]
+
+    n_sv = code_ffts_p.shape[0]
+    step = (dops_hz[1] - dops_hz[0]) if n_dop > 1 else jnp.float32(1.0)
+    offs = (jnp.arange(5, dtype=jnp.float32) - 2.0) * step
+    wdops = (centers[:, None] + offs[None, :]).reshape(-1)   # [sv*5]
+    fold = _fold_maker(blocks, fs=fs, n_coherent=n_coherent,
+                       period=period, dop_chunk=int(wdops.shape[0]))
+    f = jnp.fft.fft(fold(wdops), n=nf, axis=-1)        # [B, sv*5, NF]
+    f = f.reshape(-1, n_sv, 5, nf)
+    prod = code_ffts_p[None, :, None, :] * jnp.conj(f)
+    lin = jnp.fft.ifft(prod, axis=-1)
+    corr = (lin[..., :period] if nf == period
+            else lin[..., :period] + lin[..., nf - period:])
+    pwr = (corr.real ** 2 + corr.imag ** 2).sum(0)     # [sv, 5, P]
+
+    flat = pwr.reshape(n_sv, -1).argmax(axis=-1)
+    d0 = (flat // period).astype(jnp.int32)            # [sv] window row
+    l0 = (flat % period).astype(jnp.int32)             # [sv] lag
+
+    def parabola(ym, y0, yp):
+        den = ym - 2.0 * y0 + yp
+        return jnp.where(den < 0.0, 0.5 * (ym - yp)
+                         / jnp.where(den < 0.0, den, 1.0), 0.0)
+
+    # Doppler parabola at the peak lag (edge rows keep the bin value)
+    col = jnp.take_along_axis(pwr, l0[:, None, None], axis=2)[..., 0]
+    take_d = lambda di: jnp.take_along_axis(
+        col, jnp.clip(d0 + di, 0, 4)[:, None], axis=1)[:, 0]
+    dd = jnp.where((d0 > 0) & (d0 < 4),
+                   parabola(take_d(-1), take_d(0), take_d(1)), 0.0)
+    # lag parabola with code-period wraparound
+    row = jnp.take_along_axis(pwr, d0[:, None, None], axis=1)[:, 0, :]
+    take_l = lambda li: jnp.take_along_axis(
+        row, ((l0 + li) % period)[:, None], axis=1)[:, 0]
+    y0 = take_l(0)
+    dl = parabola(take_l(-1), y0, take_l(1))
+    snr = y0 / (row.sum(axis=-1) / period)
+    dop = centers + (d0.astype(jnp.float32) - 2.0 + dd) * step
+    ca = (l0.astype(jnp.float32) + dl) % period
+    return snr, dop, ca
+
+
+@functools.partial(
+    jax.jit,
     static_argnames=("fs", "lo_rate", "n_coherent", "dop_chunk",
                      "from_bits", "period"))
 def acquire_folded_batch(samples: jnp.ndarray, code_ffts_p: jnp.ndarray,
@@ -573,7 +650,8 @@ class FoldedSearcher:
                               from_bits=from_bits, period=self.period)
 
     def detections_refined_fast(self, bits=None, iq=None,
-                                n_noncoherent: int = 1) -> list[dict]:
+                                n_noncoherent: int = 1,
+                                skip_prns=()) -> list[dict]:
         """MXU detection + exact narrow-window refinement.
 
         The fused kernel (engine="mxu") finds per-SV bests without ever
@@ -587,46 +665,35 @@ class FoldedSearcher:
         blocks' powers inside the kernel before the peak search (and
         sums the refinement window grids likewise) — the weak-signal
         escalation (SURVEY §5: non-coherent integration across blocks).
+
+        ``skip_prns``: PRNs filtered out of the result (already tracked).
+
+        The whole search is ONE jitted program and ONE tiny host fetch
+        (:func:`acquire_refined_mxu`): the fused kernel reduces the full
+        grid, and the +-2-bin refinement windows for all SVs are
+        re-correlated and parabola-refined on device — no detection
+        fetch / window-grid fetch round-trip pair.
         """
         samples, from_bits = self._prep(bits, iq, n_noncoherent)
-        res = self.acquire(bits=samples if from_bits else None,
-                           iq=None if from_bits else samples,
-                           n_noncoherent=n_noncoherent, engine="mxu")
-        dets = self.detections(res)
-        if not dets:
-            return []
-        step = (float(self.dops_hz[1] - self.dops_hz[0])
-                if len(self.dops_hz) > 1 else self.cfg.dop_bin_hz)
-        centers = np.asarray([d["doppler_hz"] for d in dets], np.float64)
-        offs = np.arange(-2, 3, dtype=np.float64) * step
-        window = np.unique((centers[:, None] + offs[None, :]).ravel())
-        # pad the window grid to a size bucket (repeat the last bin):
-        # the refinement program's shape then stays stable across runs
-        # with different detection counts, so one cached compile serves
-        # them all (fresh compiles cost ~minutes on the tunneled backend)
-        bucket = 16
-        pad = (-len(window)) % bucket
-        if pad:
-            window = np.concatenate([window, np.full(pad, window[-1])])
-        pwr = np.asarray(_power_grid_sum_jit(
-            samples, self.code_ffts_p,
-            jnp.asarray(window.astype(np.float32)),
+        cw_r, cw_i = self.mxu_code_planes()
+        interp = jax.devices()[0].platform not in ("tpu", "axon")
+        snr, dop, ca = acquire_refined_mxu(
+            samples, cw_r, cw_i, self.code_ffts_p, self.dops_hz,
             fs=self.cfg.fs, lo_rate=self.cfg.lo_rate,
             n_coherent=self.n_coherent, n_noncoherent=n_noncoherent,
-            dop_chunk=min(self.dop_chunk, len(window)),
-            from_bits=from_bits, period=self.period))
+            dop_chunk=self.dop_chunk, from_bits=from_bits,
+            period=self.period, nf=self.nf, interpret=interp)
+        snr = np.asarray(snr)
+        dop = np.asarray(dop)
+        ca = np.asarray(ca)
         out = []
-        for d in dets:
-            i = int(np.argmin(np.abs(window - d["doppler_hz"])))
-            sl = slice(max(i - 2, 0), i + 3)
-            # grid rows are ordered by cfg.prns, NOT by sv number —
-            # d["sv"] (= prn-1) is only the row for the all-32 config
-            row = self.cfg.prns.index(d["prn"])
-            ref = refine_peak(pwr[:, sl, :], window[sl], row)
-            out.append(dict(prn=d["prn"], sv=d["sv"], snr=ref["snr"],
-                            doppler_hz=ref["doppler_hz"],
-                            ca_shift=ref["ca_shift"],
-                            lo_shift=int(round(ref["doppler_hz"]
+        for i, prn in enumerate(self.cfg.prns):
+            if prn in skip_prns or snr[i] < self.cfg.snr_threshold:
+                continue
+            out.append(dict(prn=prn, sv=prn - 1, snr=float(snr[i]),
+                            doppler_hz=float(dop[i]),
+                            ca_shift=float(ca[i]),
+                            lo_shift=int(round(float(dop[i])
                                                / self.cfg.dop_bin_hz))))
         return out
 

@@ -85,12 +85,18 @@ class ChannelRecord:
     # ------------------------------------------------------------------
     def append_hist(self, ip: np.ndarray, qp: np.ndarray, cf: np.ndarray,
                     caf: np.ndarray, t_epoch: float) -> None:
-        """Append one chunk of per-epoch correlator outputs."""
+        """Append one chunk of per-epoch correlator outputs.
+
+        ``cf`` is the tracker's code-rate DEVIATION history (chips/s
+        relative to CHIP_RATE_HZ, tpu_gnss.track.channel.EpochOut) — the
+        absolute rate is reconstructed in float64 for the transmit-time
+        chip integral.
+        """
         self._chunks["ip"].append(ip)
         self._chunks["qp"].append(qp)
         self._chunks["cf"].append(cf)
         self._chunks["caf"].append(caf)
-        cf64 = np.asarray(cf, np.float64)
+        cf64 = np.asarray(cf, np.float64) + CHIP_RATE_HZ
         chips = (self.code_phase0 + self._chip_base
                  + np.concatenate([[0.0], np.cumsum(cf64[:-1])]) * t_epoch)
         self._chunks["chips"].append(chips)
@@ -130,7 +136,8 @@ class ChannelRecord:
 
     @property
     def code_freq_hist(self) -> np.ndarray:
-        return self.hist("cf")
+        """Absolute code rate (chips/s); stored history is the deviation."""
+        return self.hist("cf").astype(np.float64) + CHIP_RATE_HZ
 
     @property
     def carrier_freq_hist(self) -> np.ndarray:
@@ -195,13 +202,18 @@ class Receiver:
         self.transfer_dtype = transfer_dtype
 
     # ------------------------------------------------------------------
-    def _cold_detections(self, head, bits: bool = False) -> list:
+    def _cold_detections(self, head, bits: bool = False,
+                         skip_prns=frozenset()) -> list:
         """Refined detections for channel seeding, engine-dispatched.
 
         ``head`` is a complex-baseband segment, or raw {0,1} samples when
         ``bits`` (mixed on device).  When the single-block search comes
         up short and ``head`` spans several coherent blocks, the search
         escalates to non-coherent accumulation (weak-signal mode).
+
+        ``skip_prns``: PRNs already tracked — dropped before refinement
+        (cheap fruitless re-probes) and counted as found by the
+        weak-signal escalation check.
         """
         engine = self.acq_engine
         if engine == "auto":
@@ -213,14 +225,15 @@ class Receiver:
         def run(n_nc):
             if engine == "mxu":
                 return self.searcher.detections_refined_fast(
-                    **kw, n_noncoherent=n_nc)
+                    **kw, n_noncoherent=n_nc, skip_prns=skip_prns)
             pwr = self.searcher.power_grid(**kw, n_noncoherent=n_nc)
-            return self.searcher.detections_refined(pwr)
+            return [d for d in self.searcher.detections_refined(pwr)
+                    if d["prn"] not in skip_prns]
 
         dets = run(1)
         k = min(self.weak_noncoherent,
                 len(head) // self.searcher.block_len)
-        if len(dets) < self.weak_min_svs and k > 1:
+        if len(dets) + len(skip_prns) < self.weak_min_svs and k > 1:
             weak = run(k)
             if len(weak) > len(dets):
                 dets = weak
@@ -308,10 +321,11 @@ class Receiver:
                 head = loaders.unpack_1bit(blk.tobytes())[:acq_head_len]
             else:
                 head = blk[:acq_head_len]
-            dets = sorted(
-                self._cold_detections(head, bits=use_bits or use_packed),
-                key=lambda d: -d["snr"])
             tracked = {r.prn for r in live.values()}
+            dets = sorted(
+                self._cold_detections(head, bits=use_bits or use_packed,
+                                      skip_prns=frozenset(tracked)),
+                key=lambda d: -d["snr"])
             started = []
             for d in dets:
                 if d["prn"] in tracked or not free:
@@ -414,6 +428,13 @@ class Receiver:
                     code_ffts=code_ffts,
                     agc_thresholds=self.agc_thresholds)
                 out_dev = _pack_out(out)
+                try:
+                    # start the device->host copy now; the blocking
+                    # np.asarray in drain() then finds it complete — the
+                    # fetch round-trip overlaps the next chunk's compute
+                    out_dev.copy_to_host_async()
+                except Exception:   # backends without async host copies
+                    pass
             new_pending = (out_dev, list(live.values()))
             n_dispatched += n_ep
             if pending is not None:
@@ -646,5 +667,5 @@ def _pack_out(out: tc.EpochOut):
         import jax
         import jax.numpy as jnp
         _PACK_FN = jax.jit(lambda o: jnp.stack(
-            [o.ip, o.qp, o.code_freq, o.carrier_freq]).astype(jnp.float32))
+            [o.ip, o.qp, o.code_dev, o.carrier_freq]).astype(jnp.float32))
     return _PACK_FN(out)

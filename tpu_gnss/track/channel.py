@@ -54,7 +54,9 @@ class ChannelState(NamedTuple):
     pll_acc: jnp.ndarray        # PLL integrator (rad/s)
     dll_acc: jnp.ndarray        # DLL integrator (chips/s)
     carrier_freq: jnp.ndarray   # Hz: last effective carrier frequency
-    code_freq: jnp.ndarray      # chips/s: last effective code rate
+    code_dev: jnp.ndarray       # chips/s: code-rate DEVIATION from
+                                # CHIP_RATE_HZ (small -> float32-precise;
+                                # absolute rate = CHIP_RATE_HZ + code_dev)
     pwr_avg: jnp.ndarray        # running prompt power average
     ip_prev: jnp.ndarray        # previous prompt I (FLL discriminator)
     qp_prev: jnp.ndarray        # previous prompt Q
@@ -68,7 +70,7 @@ class EpochOut(NamedTuple):
     e_mag: jnp.ndarray
     l_mag: jnp.ndarray
     carrier_freq: jnp.ndarray
-    code_freq: jnp.ndarray
+    code_dev: jnp.ndarray       # chips/s deviation from CHIP_RATE_HZ
     code_phase: jnp.ndarray     # chips at epoch START
 
 
@@ -79,7 +81,7 @@ def init_state(n_chan: int) -> ChannelState:
         carrier_phase=z, carrier_seed=z, code_phase=z,
         pll_acc=z, dll_acc=z,
         carrier_freq=z,
-        code_freq=jnp.full(n_chan, CHIP_RATE_HZ, jnp.float32),
+        code_dev=jnp.zeros(n_chan, jnp.float32),
         pwr_avg=z, ip_prev=z, qp_prev=z,
         agc_on=jnp.zeros(n_chan, bool))
 
@@ -102,8 +104,8 @@ def start_channel(state: ChannelState, ch: int, doppler_hz: float,
         pll_acc=upd(state.pll_acc, 0.0),
         dll_acc=upd(state.dll_acc, 0.0),
         carrier_freq=upd(state.carrier_freq, doppler_hz),
-        code_freq=upd(state.code_freq,
-                      CHIP_RATE_HZ * (1.0 + doppler_hz / L1_HZ)),
+        code_dev=upd(state.code_dev,
+                     CHIP_RATE_HZ * doppler_hz / L1_HZ),
         pwr_avg=upd(state.pwr_avg, 0.0),
         ip_prev=upd(state.ip_prev, 0.0),
         qp_prev=upd(state.qp_prev, 0.0),
@@ -176,6 +178,32 @@ def track_epochs(samples: jnp.ndarray, state: ChannelState,
     t_epoch = step_len / fs  # loop update interval
 
     e_steps = jnp.arange(e_sub, dtype=jnp.float32)[None, :] * p
+    e_idx = jnp.arange(e_sub, dtype=jnp.float32)[None, :]
+
+    # Code-NCO precision: the phase advance per step is ~1023 * e_sub
+    # chips; adding it to the phase in float32 rounds at an ulp of
+    # ~1e-3 chips (~0.3 m) per 10 ms step, and the quasi-constant
+    # fractional advance makes the rounding BIASED — the DLL absorbs it
+    # (the device phase stays locked to the signal) but any host-side
+    # integral of the commanded code rate then drifts from the true code
+    # phase by tens of m/s (observed: ~-23 m/s common-mode, ~±2 m/s
+    # differential => fix error growing ~1.5 m/s on the 20 s e2e scene).
+    # Hence (a) the state carries the code-rate DEVIATION ``code_dev``
+    # (absolute float32 rate near 1.023e6 would quantize DLL commands to
+    # 0.0625 chips/s ~ 18 m/s), and (b) the phase advances by that
+    # deviation plus the nominal advance reduced mod 1023 in float64
+    # here on the host (exactly 0 for the integer-kHz sample rates of
+    # every capture preset) — intermediate sums stay ~1 code period,
+    # ulp ~6e-5 chips (2 cm).
+    nom_step_mod = float((CHIP_RATE_HZ * step_len / fs) % CODE_LEN_CHIPS)
+    nom_epoch_mod = float((CHIP_RATE_HZ * p / fs) % CODE_LEN_CHIPS)
+    if code_ffts is None:
+        # gather path needs the per-sample nominal chip index, reduced
+        # mod 1023 in float64 before the float32 cast
+        n_np = (np.arange(e_sub, dtype=np.float64)[:, None] * p
+                + np.arange(p, dtype=np.float64)[None, :])
+        nom_n = jnp.asarray(((CHIP_RATE_HZ / fs) * n_np) % CODE_LEN_CHIPS,
+                            dtype=jnp.float32)
 
     # factored carrier-wipe phasor: sample index n = K*b + a splits the
     # linear phase into two short trig tables per channel (K + len/K
@@ -221,7 +249,8 @@ def track_epochs(samples: jnp.ndarray, state: ChannelState,
             phase0 = (st.carrier_phase[:, None]
                       + delta[:, None] * e_steps) % 1.0      # [n_chan, e]
             chips0 = (st.code_phase[:, None]
-                      + (st.code_freq / fs)[:, None] * e_steps)
+                      + (st.code_dev / fs)[:, None]
+                      * e_steps + nom_epoch_mod * e_idx)
             s0p = (chips0 % CODE_LEN_CHIPS) * scale
             s0e = ((chips0 + corr_spacing) % CODE_LEN_CHIPS) * scale
             s0l = ((chips0 - corr_spacing) % CODE_LEN_CHIPS) * scale
@@ -272,7 +301,8 @@ def track_epochs(samples: jnp.ndarray, state: ChannelState,
                 wiped.shape[0], e_sub, nf)            # [n_chan, e_sub, NF]
             prod = f_w * code_ffts[:, None, :]
             chips0 = (st.code_phase[:, None]
-                      + (st.code_freq / fs)[:, None] * e_steps)
+                      + (st.code_dev / fs)[:, None]
+                      * e_steps + nom_epoch_mod * e_idx)
             # one shared prompt ramp; early/late taps are the SAME ramp
             # times a fixed vector t(±δ) (exact: ramp(τ+δ) = ramp(τ)·t(δ)
             # with matching signed-frequency convention), with a per-row
@@ -306,7 +336,8 @@ def track_epochs(samples: jnp.ndarray, state: ChannelState,
             # --- reference-style resampled-code correlators --------------
             wiped = wipe()
             chips_t = (st.code_phase[:, None, None]
-                       + (st.code_freq / fs)[:, None, None] * n[None, :, :])
+                       + (st.code_dev / fs)[:, None, None]
+                       * n[None, :, :] + nom_n[None, :, :])
             ch_idx = jnp.arange(code_tables.shape[0])[:, None, None]
 
             def corr(offset):
@@ -363,10 +394,10 @@ def track_epochs(samples: jnp.ndarray, state: ChannelState,
         dll_acc = st.dll_acc + jnp.where(st.active, dll_k2 * dll_err, 0.0)
         aid = jnp.where(jnp.bool_(carrier_aiding),
                         carrier_freq / L1_HZ * CHIP_RATE_HZ, 0.0)
-        code_freq = jnp.where(
+        code_dev = jnp.where(
             st.active,
-            CHIP_RATE_HZ + aid + dll_k1 * dll_err + dll_acc,
-            st.code_freq)
+            aid + dll_k1 * dll_err + dll_acc,
+            st.code_dev)
 
         # --- NCO phase advance -------------------------------------------
         carrier_phase = jnp.where(
@@ -375,7 +406,8 @@ def track_epochs(samples: jnp.ndarray, state: ChannelState,
             st.carrier_phase)
         code_phase = jnp.where(
             st.active,
-            (st.code_phase + code_freq / fs * step_len) % CODE_LEN_CHIPS,
+            (st.code_phase + code_dev / fs * step_len
+             + nom_step_mod) % CODE_LEN_CHIPS,
             st.code_phase)
 
         pwr = (ip_all * ip_all + qp_all * qp_all).mean(axis=1)
@@ -393,20 +425,20 @@ def track_epochs(samples: jnp.ndarray, state: ChannelState,
 
         # per-epoch outputs [n_chan, e_sub]
         bcast = lambda a: jnp.broadcast_to(a[:, None], ip_all.shape)
-        e_idx = jnp.arange(e_sub, dtype=jnp.float32)[None, :]
         phase_per_epoch = (st.code_phase[:, None]
-                           + (code_freq / fs)[:, None] * (e_idx * p)
+                           + (code_dev / fs)[:, None]
+                           * e_steps + nom_epoch_mod * e_idx
                            ) % CODE_LEN_CHIPS
         out = EpochOut(ip=ip_all, qp=qp_all, e_mag=e_mag_all,
                        l_mag=l_mag_all,
                        carrier_freq=bcast(carrier_freq),
-                       code_freq=bcast(code_freq),
+                       code_dev=bcast(code_dev),
                        code_phase=phase_per_epoch)
         new = ChannelState(active=st.active, carrier_phase=carrier_phase,
                            carrier_seed=st.carrier_seed,
                            code_phase=code_phase, pll_acc=pll_acc,
                            dll_acc=dll_acc, carrier_freq=carrier_freq,
-                           code_freq=code_freq, pwr_avg=pwr_avg,
+                           code_dev=code_dev, pwr_avg=pwr_avg,
                            ip_prev=jnp.where(st.active, ip, st.ip_prev),
                            qp_prev=jnp.where(st.active, qp, st.qp_prev),
                            agc_on=agc_on)
@@ -563,7 +595,7 @@ def carrier_pull_in(state: ChannelState, if_offset_hz: float = 0.0
     (reference: c/channel.cpp:190-207).  Resets the PLL integrator so the
     filter restarts around the new seed.
     """
-    ca_dop = state.code_freq - CHIP_RATE_HZ
+    ca_dop = state.code_dev
     lo_dop = ca_dop * (L1_HZ / CHIP_RATE_HZ) + if_offset_hz
     return state._replace(
         carrier_seed=jnp.where(state.active, lo_dop, state.carrier_seed),
