@@ -183,3 +183,15 @@ def test_detections_refined_fast_prn_subset():
     dets = s.detections_refined_fast(iq=iq)
     assert [d["prn"] for d in dets] == [8]
     assert abs(dets[0]["doppler_hz"] - 409.2) < 80.0
+
+def test_detections_refined_fast_zero_head_no_nan_detections():
+    """An all-zero head (dropout segment) must yield NO detections.
+
+    SNR = 0/0 = NaN there; the inclusion test must be NaN-safe
+    (regression: `snr < thr: continue` let every NaN through and seeded
+    the whole channel bank with garbage)."""
+    cfg = ReceiverConfig(fs=1.024e6, fc=0.256e6, max_fo=5000.0,
+                         fft_len=4096)
+    s = F.FoldedSearcher(cfg, n_coherent=4, dop_chunk=8)
+    iq = np.zeros(s.block_len, np.complex64)
+    assert s.detections_refined_fast(iq=iq) == []

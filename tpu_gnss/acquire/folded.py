@@ -300,9 +300,10 @@ def acquire_refined_mxu(samples: jnp.ndarray, cw_r: jnp.ndarray,
     bests; a narrow +-2-bin window around every SV's best is then
     re-correlated and parabola-refined ON DEVICE (sub-bin Doppler,
     sub-sample code phase — the same arithmetic as :func:`refine_peak`).
-    Returns ``(snr, doppler_hz, ca_shift)`` each ``[n_sv]`` float32 — a
-    single tiny host fetch, where the two-pass path pays a full tunnel
-    round trip for the detection fetch and another for the window grid.
+    Returns a stacked ``[3, n_sv]`` float32 array ``(snr, doppler_hz,
+    ca_shift)`` — a single tiny host fetch, where the two-pass path pays
+    a full tunnel round trip for the detection fetch and another for
+    the window grid.
 
     ``n_noncoherent > 1`` sums that many consecutive coherent blocks'
     powers (kernel-side for the main grid, XLA-side for the window).
@@ -357,7 +358,8 @@ def acquire_refined_mxu(samples: jnp.ndarray, cw_r: jnp.ndarray,
     snr = y0 / (row.sum(axis=-1) / period)
     dop = centers + (d0.astype(jnp.float32) - 2.0 + dd) * step
     ca = (l0.astype(jnp.float32) + dl) % period
-    return snr, dop, ca
+    # one stacked output = one device->host fetch for the caller
+    return jnp.stack([snr, dop, ca])
 
 
 @functools.partial(
@@ -652,14 +654,13 @@ class FoldedSearcher:
     def detections_refined_fast(self, bits=None, iq=None,
                                 n_noncoherent: int = 1,
                                 skip_prns=()) -> list[dict]:
-        """MXU detection + exact narrow-window refinement.
+        """MXU detection + exact narrow-window refinement, one program.
 
-        The fused kernel (engine="mxu") finds per-SV bests without ever
-        materializing the power grid; a second, tiny XLA grid pass over
-        ±2 Doppler bins around each detection then provides the 3x3
-        neighborhood for the same parabolic refinement as
-        :meth:`detections_refined`.  Grid compute drops from the full
-        n_dop sweep to 5 bins per detection.
+        The fused kernel finds per-SV bests without ever materializing
+        the power grid, and a ±2-bin window around every SV's best is
+        re-correlated and parabola-refined on device in the same jitted
+        program — grid compute drops from the full n_dop sweep to 5
+        bins per SV, with no host round trip in between.
 
         ``n_noncoherent > 1`` sums that many consecutive coherent
         blocks' powers inside the kernel before the peak search (and
@@ -677,18 +678,17 @@ class FoldedSearcher:
         samples, from_bits = self._prep(bits, iq, n_noncoherent)
         cw_r, cw_i = self.mxu_code_planes()
         interp = jax.devices()[0].platform not in ("tpu", "axon")
-        snr, dop, ca = acquire_refined_mxu(
+        snr, dop, ca = np.asarray(acquire_refined_mxu(
             samples, cw_r, cw_i, self.code_ffts_p, self.dops_hz,
             fs=self.cfg.fs, lo_rate=self.cfg.lo_rate,
             n_coherent=self.n_coherent, n_noncoherent=n_noncoherent,
             dop_chunk=self.dop_chunk, from_bits=from_bits,
-            period=self.period, nf=self.nf, interpret=interp)
-        snr = np.asarray(snr)
-        dop = np.asarray(dop)
-        ca = np.asarray(ca)
+            period=self.period, nf=self.nf, interpret=interp))
         out = []
         for i, prn in enumerate(self.cfg.prns):
-            if prn in skip_prns or snr[i] < self.cfg.snr_threshold:
+            # NaN-safe inclusion test: a degenerate (e.g. all-zero) head
+            # yields NaN SNRs, which must not pass the threshold
+            if prn in skip_prns or not (snr[i] >= self.cfg.snr_threshold):
                 continue
             out.append(dict(prn=prn, sv=prn - 1, snr=float(snr[i]),
                             doppler_hz=float(dop[i]),
