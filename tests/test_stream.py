@@ -243,3 +243,217 @@ def test_weak_signal_escalation_in_receiver():
     assert [d["prn"] for d in dets] == [9]
     assert dets[0]["snr"] >= cfg.snr_threshold
     assert abs(dets[0]["doppler_hz"] - 500.0) < 80.0
+
+
+# ---------------------------------------------------------------------------
+# Live personality: tailing/growing-file sources
+# ---------------------------------------------------------------------------
+
+def test_follow_reader_tracks_growing_file(tmp_path):
+    """Chunks are served as the writer appends; reads never pass the
+    frontier; a .done sidecar ends the stream cleanly."""
+    import threading
+    import time
+
+    path = tmp_path / "grow.bin"
+    path.write_bytes(b"")
+    total, chunk = 64 * 40, 64
+    frontier = {"n": 0}
+
+    def writer():
+        with open(path, "ab") as f:
+            for i in range(total // 32):
+                f.write(bytes([i % 251] * 32))
+                f.flush()
+                frontier["n"] += 32
+                time.sleep(0.002)
+        (tmp_path / "grow.bin.done").touch()
+
+    rd = stream._FollowReader(str(path), stall_timeout_s=5.0, poll_s=0.005)
+    t = threading.Thread(target=writer)
+    t.start()
+    got = []
+    for raw in rd.chunks(chunk):
+        assert rd.pos <= frontier["n"] + 32  # never past the frontier
+        got.append(raw)
+    t.join()
+    assert not rd.stalled            # ended by .done, not stall
+    assert rd.waits > 0              # the reader really out-ran the writer
+    data = b"".join(got)
+    assert data == path.read_bytes()[: len(data)]
+    assert len(data) == total
+
+
+def test_follow_reader_stall_vs_done(tmp_path):
+    """No growth and no .done -> ends with stalled=True."""
+    path = tmp_path / "s.bin"
+    path.write_bytes(bytes(100))
+    rd = stream._FollowReader(str(path), stall_timeout_s=0.05, poll_s=0.01)
+    got = list(rd.chunks(64))
+    assert len(got) == 1             # one whole chunk, partial tail unread
+    assert rd.stalled
+
+
+def test_follow_reader_skip_ahead(tmp_path):
+    """Fall-behind beyond max_lag skips whole chunks and records it."""
+    path = tmp_path / "f.bin"
+    path.write_bytes(bytes(range(256)) * 8)   # 2048 bytes, all present
+    (tmp_path / "f.bin.done").touch()
+    rd = stream._FollowReader(str(path), max_lag_bytes_limit=256)
+    got = list(rd.chunks(128))
+    assert rd.skipped_bytes > 0
+    assert rd.skipped_bytes + sum(len(g) for g in got) == 2048
+    # yielded chunks are real file content at the advanced position
+    data = path.read_bytes()
+    assert got[0] == data[rd.skipped_bytes: rd.skipped_bytes + 128]
+
+
+def test_follow_source_1bit_matches_file_source(tmp_path, rng):
+    """On a complete (done) file, the follow source equals the batch
+    source on every block interface."""
+    bits = rng.integers(0, 2, 4096 * 4).astype(np.uint8)
+    path = tmp_path / "cap.bin"
+    path.write_bytes(loaders.pack_1bit(bits))
+    (tmp_path / "cap.bin.done").touch()
+
+    batch = stream.FileSource1Bit(str(path), SMALL)
+    follow = stream.FollowSource1Bit(str(path), SMALL)
+    for name in ("blocks", "bit_blocks", "packed_blocks"):
+        a = list(getattr(stream.FollowSource1Bit(str(path), SMALL), name)(4096))
+        b = list(getattr(stream.FileSource1Bit(str(path), SMALL), name)(4096))
+        assert len(a) == len(b) == 4
+        for x, y in zip(a, b):
+            np.testing.assert_array_equal(x, y)
+    assert not follow.stalled
+
+
+def test_follow_receiver_live_fixes(tmp_path):
+    """The receiver follows a growing 1-bit capture from a writer thread
+    to tracking lock, with in-stream servicing (live personality)."""
+    import threading
+    import time
+    from tpu_gnss.receiver import Receiver
+
+    fs = SMALL.fs
+    svs = [synth.SvSignal(prn=9, doppler_hz=500.0, code_phase_chips=300.0),
+           synth.SvSignal(prn=17, doppler_hz=-1200.0, code_phase_chips=10.0)]
+    iq = synth.synth_baseband(svs, fs, int(2.0 * fs), noise_std=0.4, seed=4)
+    payload = loaders.pack_1bit(synth.baseband_to_1bit_if(iq, SMALL.fc, fs))
+    path = tmp_path / "live.bin"
+    path.write_bytes(b"")
+
+    def writer():
+        step = len(payload) // 16
+        with open(path, "ab") as f:
+            for i in range(0, len(payload), step):
+                f.write(payload[i: i + step])
+                f.flush()
+                time.sleep(0.01)
+        (tmp_path / "live.bin.done").touch()
+
+    src = stream.FollowSource1Bit(str(path), SMALL, stall_timeout_s=10.0)
+    t = threading.Thread(target=writer)
+    t.start()
+    out = Receiver(SMALL).process_source(src, chunk_s=0.5,
+                                         on_solution=lambda s: None)
+    t.join()
+    assert not src.stalled
+    assert sorted(d["prn"] for d in out.detections) == [9, 17]
+    for r in out.channels:
+        ip = np.asarray(r.ip_hist[-100:])
+        assert np.abs(ip).mean() > 0.4 * 2048, "follow path must track"
+
+
+# ---------------------------------------------------------------------------
+# 8-bit capture fast path: native-byte uplink + on-device conversion
+# ---------------------------------------------------------------------------
+
+@pytest.mark.parametrize("dtype", ["int8", "uint8"])
+def test_rawiq_device_conversion_matches_host(tmp_path, rng, dtype):
+    """to_device_iq8 == the host loader on the same bytes."""
+    from tpu_gnss.utils.xfer import to_device_iq8
+
+    n = 4096
+    if dtype == "int8":
+        raw = rng.integers(-100, 100, 2 * n).astype(np.int8)
+    else:
+        raw = rng.integers(0, 256, 2 * n).astype(np.uint8)
+    want = loaders.iq8_to_complex(raw, signed=dtype == "int8")
+    got = np.asarray(to_device_iq8(raw, signed=dtype == "int8"))
+    np.testing.assert_allclose(got, want, atol=1e-3)
+
+
+def test_receiver_rawiq_path_equals_host_path(tmp_path, rng):
+    """The native-byte uplink (VERDICT r2 #1) must match the host-side
+    conversion path end to end: same detections, same histories."""
+    from tpu_gnss.receiver import Receiver
+
+    fs = SMALL.fs
+    svs = [synth.SvSignal(prn=9, doppler_hz=500.0, code_phase_chips=300.0),
+           synth.SvSignal(prn=17, doppler_hz=-1200.0, code_phase_chips=10.0)]
+    iq = synth.synth_baseband(svs, fs, int(2.0 * fs), noise_std=0.4, seed=4)
+    # x40 gain int8 capture (the gps_bin1bit_log2bin.m output recipe)
+    scale = 40.0 / np.abs(iq).max()
+    raw = np.empty(2 * len(iq), np.int8)
+    raw[0::2] = np.clip(np.rint(iq.real * scale), -127, 127)
+    raw[1::2] = np.clip(np.rint(iq.imag * scale), -127, 127)
+    path = tmp_path / "cap_iq8.bin"
+    raw.tofile(path)
+
+    # remove_dc=False so both paths see bit-identical samples (the DC
+    # estimate windows differ between host- and device-side conversion;
+    # device DC removal itself is covered by the conversion test above)
+    res_raw = Receiver(SMALL).process_source(
+        stream.IQFileSource(str(path), fs, remove_dc=False), chunk_s=1.0)
+
+    class NoRaw(stream.SampleSource):
+        """Same source with the native-byte uplink hidden."""
+        def __init__(self, inner):
+            self._inner = inner
+            self.fs = inner.fs
+        def blocks(self, block_len):
+            return self._inner.blocks(block_len)
+
+    res_host = Receiver(SMALL, transfer_dtype="float32").process_source(
+        NoRaw(stream.IQFileSource(str(path), fs, remove_dc=False)),
+        chunk_s=1.0)
+
+    assert ([d["prn"] for d in res_raw.detections]
+            == [d["prn"] for d in res_host.detections])
+    assert len(res_raw.channels) == len(res_host.channels)
+    for a, b in zip(res_raw.channels, res_host.channels):
+        assert (a.prn, a.start_epoch) == (b.prn, b.start_epoch)
+        np.testing.assert_allclose(a.ip_hist, b.ip_hist, rtol=2e-4, atol=2.0)
+        np.testing.assert_allclose(a.code_freq_hist, b.code_freq_hist,
+                                   rtol=2e-4, atol=1e-3)
+
+
+def test_receiver_int4_uplink_tracks_like_int8(tmp_path, rng):
+    """The 4-bit link mode finds the same SVs and tracks within the
+    quantization-noise envelope of the native-byte mode."""
+    from tpu_gnss.receiver import Receiver
+
+    fs = SMALL.fs
+    svs = [synth.SvSignal(prn=9, doppler_hz=500.0, code_phase_chips=300.0),
+           synth.SvSignal(prn=17, doppler_hz=-1200.0, code_phase_chips=10.0)]
+    iq = synth.synth_baseband(svs, fs, int(2.0 * fs), noise_std=0.4, seed=4)
+    scale = 40.0 / np.abs(iq).max()
+    raw = np.empty(2 * len(iq), np.int8)
+    raw[0::2] = np.clip(np.rint(iq.real * scale), -127, 127)
+    raw[1::2] = np.clip(np.rint(iq.imag * scale), -127, 127)
+    path = tmp_path / "cap_iq8.bin"
+    raw.tofile(path)
+
+    res8 = Receiver(SMALL).process_source(
+        stream.IQFileSource(str(path), fs, remove_dc=False), chunk_s=1.0)
+    res4 = Receiver(SMALL, transfer_dtype="int4").process_source(
+        stream.IQFileSource(str(path), fs, remove_dc=False), chunk_s=1.0)
+
+    assert ([d["prn"] for d in res4.detections]
+            == [d["prn"] for d in res8.detections])
+    for a, b in zip(res4.channels, res8.channels):
+        assert (a.prn, a.start_epoch) == (b.prn, b.start_epoch)
+        ia, ib = np.asarray(a.ip_hist), np.asarray(b.ip_hist)
+        # same sign pattern (NAV bits identical), amplitudes within a few %
+        rel = np.linalg.norm(ia - ib) / np.linalg.norm(ib)
+        assert rel < 0.05, f"int4 path diverged: rel={rel:.3f}"

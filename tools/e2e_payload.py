@@ -75,15 +75,48 @@ for attempt in range(2):
 stages_1bit = {k: round(sum(v), 3)
                for k, v in metrics.METRICS.timings.items()}
 
-for attempt in range(2):
-    recv = Receiver(cfg)
-    metrics.METRICS.timings.clear()
-    metrics.METRICS.counters.clear()
-    t0 = time.perf_counter()
-    res_iq = recv.process_iq(iq, max_channels=8)
-    walls_iq.append(time.perf_counter() - t0)
-    print(f"iq pass {attempt}: {walls_iq[-1]:.1f}s wall for {duration:.0f}s "
-          f"of capture ({duration/walls_iq[-1]:.2f}x realtime)", flush=True)
+# The complex-IQ path now benches the reference's ACTUAL 8-bit capture
+# format (gps_bin1bit_log2bin.m x100-gain int8 IQ output;
+# proc_hackrf_bin_for_gps.m input): an int8 interleaved file streamed
+# through IQFileSource.  Two link modes:
+#  - native bytes (exact: the file's own bytes cross the link, 2 B/sample)
+#  - int4 packed  (1 B/sample requantized; <0.1 dB SNR cost)
+from tpu_gnss.io.stream import IQFileSource
+
+iq8_path = "/tmp/e2e_scene_20s_iq8.bin"
+if not os.path.exists(iq8_path):
+    scale = 100.0 / max(np.abs(iq.real).max(), np.abs(iq.imag).max())
+    raw = np.empty(2 * len(iq), np.int8)
+    raw[0::2] = np.clip(np.rint(iq.real * scale), -127, 127)
+    raw[1::2] = np.clip(np.rint(iq.imag * scale), -127, 127)
+    raw.tofile(iq8_path)
+
+iq_results = {}
+for label, dtype in (("int8", "int8"), ("int4", "int4")):
+    walls_iq = []
+    for attempt in range(2):
+        recv = Receiver(cfg, transfer_dtype=dtype)
+        metrics.METRICS.timings.clear()
+        metrics.METRICS.counters.clear()
+        t0 = time.perf_counter()
+        res_iq = recv.process_source(IQFileSource(iq8_path, E.FS),
+                                     max_channels=8, chunk_s=4.0)
+        walls_iq.append(time.perf_counter() - t0)
+        print(f"iq[{label}] pass {attempt}: {walls_iq[-1]:.1f}s wall for "
+              f"{duration:.0f}s ({duration/walls_iq[-1]:.2f}x realtime)",
+              flush=True)
+    err_iq = None
+    if res_iq.solutions:
+        s = res_iq.solutions[-1]
+        err_iq = round(float(np.linalg.norm(
+            np.array([s.x, s.y, s.z]) - rx)), 1)
+    iq_results[label] = dict(
+        wall_s=round(walls_iq[-1], 2),
+        realtime=round(duration / walls_iq[-1], 2),
+        detections=[(d["prn"], round(d["snr"])) for d in res_iq.detections],
+        n_solutions=len(res_iq.solutions), fix_error_m=err_iq)
+    print(f"iq[{label}]: {iq_results[label]}", flush=True)
+walls_iq = [iq_results["int8"]["wall_s"]]
 
 wall = walls[-1]
 print(f"detections: {[(d['prn'], round(d['snr'])) for d in res.detections]}")
@@ -102,8 +135,10 @@ artifact = dict(metric="e2e_realtime_factor",
                 wall_s=round(wall, 2), capture_s=duration,
                 cold_wall_s=round(walls[0], 2),
                 input="1bit_if_file_packed_uplink",
-                iq_path_realtime_factor=round(duration / walls_iq[-1], 2),
-                iq_path_wall_s=round(walls_iq[-1], 2),
+                iq_path_realtime_factor=iq_results["int8"]["realtime"],
+                iq_path_wall_s=iq_results["int8"]["wall_s"],
+                iq_path_int4_realtime_factor=iq_results["int4"]["realtime"],
+                iq_paths=iq_results,
                 n_solutions=len(res.solutions),
                 final_fix_error_m=round(err, 1) if err is not None else None,
                 stages=stages_1bit)

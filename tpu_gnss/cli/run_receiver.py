@@ -54,6 +54,18 @@ def main(argv=None) -> int:
     p.add_argument("--nmea-out", default=None, metavar="FILE.nmea",
                    help="write fixes as NMEA GGA/GSA/GSV/RMC/VTG/GST "
                         "sentences (feed to cli.nmea monitor/compare)")
+    p.add_argument("--follow", action="store_true",
+                   help="live mode: tail the capture file while it "
+                        "GROWS (SDR pipe / writer process), emitting "
+                        "fixes in-stream at the solve cadence; ends on "
+                        "a <file>.done sidecar or --stall-timeout of "
+                        "no growth")
+    p.add_argument("--stall-timeout", type=float, default=5.0,
+                   help="--follow: seconds without file growth before "
+                        "the stream is declared stalled")
+    p.add_argument("--max-lag", type=float, default=None, metavar="SEC",
+                   help="--follow: skip ahead when the reader falls "
+                        "more than SEC behind the writer frontier")
     args = p.parse_args(argv)
     from ..utils.jaxcache import enable_persistent_cache
     enable_persistent_cache()
@@ -71,11 +83,21 @@ def main(argv=None) -> int:
                          fft_len=args.fft_len,
                          snr_threshold=args.threshold,
                          num_chans=args.channels)
-    if args.format == "1bit":
+    iq_dtype = "int8" if args.format == "iq8" else "uint8"
+    if args.follow:
+        from ..io.stream import FollowSource1Bit, FollowIQSource
+        if args.format == "1bit":
+            src = FollowSource1Bit(args.filename, cfg,
+                                   stall_timeout_s=args.stall_timeout,
+                                   max_lag_s=args.max_lag)
+        else:
+            src = FollowIQSource(args.filename, args.fs, dtype=iq_dtype,
+                                 stall_timeout_s=args.stall_timeout,
+                                 max_lag_s=args.max_lag)
+    elif args.format == "1bit":
         src = FileSource1Bit(args.filename, cfg)
     else:
-        src = IQFileSource(args.filename, args.fs,
-                           dtype="int8" if args.format == "iq8" else "uint8")
+        src = IQFileSource(args.filename, args.fs, dtype=iq_dtype)
 
     warm = None
     if args.warm_start:
@@ -84,9 +106,21 @@ def main(argv=None) -> int:
         print(f"warm start: ephemerides for PRNs {sorted(warm or {})}")
 
     recv = Receiver(cfg)
+    on_sol = None
+    if args.follow:
+        def on_sol(s):
+            print(f"[fix t={s.snap_epoch/1000:7.1f}s] "
+                  + metrics.solution_line(s), flush=True)
     with metrics.METRICS.stage("receiver.total"):
         result = recv.process_source(src, max_duration_s=args.duration,
-                                     warm_ephemerides=warm)
+                                     warm_ephemerides=warm,
+                                     on_solution=on_sol)
+    if args.follow:
+        why = "stalled (no growth)" if src.stalled else "end of stream"
+        print(f"\nfollow ended: {why}; "
+              f"worst lag {getattr(src, 'max_lag_s', 0.0):.2f}s"
+              + (f", skipped {src.reader.skipped_bytes} bytes"
+                 if src.reader.skipped_bytes else ""))
 
     print(f"\nacquired {len(result.detections)} SVs:")
     for d in result.detections:

@@ -148,6 +148,23 @@ def load_uint8_iq(path: str, count: Optional[int] = None,
     return y.astype(np.complex64)
 
 
+def iq8_to_complex(raw: np.ndarray, signed: bool,
+                   remove_dc: bool = True) -> np.ndarray:
+    """Interleaved 8-bit I/Q array (native dtype) -> complex64 baseband.
+
+    Host-side mirror of the device conversion
+    (tpu_gnss.utils.xfer._deinterleave_iq8); same centering semantics as
+    :func:`load_int8_iq` / :func:`load_uint8_iq`.
+    """
+    a = np.asarray(raw).astype(np.float32)
+    if not signed:
+        a = a - 128.0
+    y = a[0::2] + 1j * a[1::2]
+    if remove_dc:
+        y = y - y.mean()
+    return y.astype(np.complex64)
+
+
 def load_wav_iq(path: str, count: Optional[int] = None) -> tuple[np.ndarray, float]:
     """Stereo WAV capture (HDSDR) -> interleaved real sample stream + rate.
 

@@ -134,8 +134,27 @@ class IQFileSource(SampleSource):
         self.dtype = dtype
         self.remove_dc = remove_dc
 
+    @property
+    def _item(self) -> np.dtype:
+        return np.dtype(np.int8 if self.dtype == "int8" else np.uint8)
+
+    def raw_blocks(self, block_len: int) -> Iterator[np.ndarray]:
+        """The file's own interleaved bytes, viewed as the native dtype.
+
+        Zero host processing: deinterleave/recenter/DC removal happen on
+        device (tpu_gnss.utils.xfer.to_device_iq8) — the receiver's fast
+        path for 8-bit captures.
+        """
+        item = self._item
+        with open(self.path, "rb") as f:
+            while True:
+                raw = f.read(2 * block_len)
+                if len(raw) < 2 * block_len:
+                    return
+                yield np.frombuffer(raw, dtype=item)
+
     def blocks(self, block_len: int) -> Iterator[np.ndarray]:
-        item = np.dtype(np.int8 if self.dtype == "int8" else np.uint8)
+        item = self._item
         with open(self.path, "rb") as f:
             while True:
                 raw = f.read(2 * block_len * item.itemsize)
@@ -189,28 +208,195 @@ class SynthSource(SampleSource):
             n0 += block_len
 
 
+class _FollowReader:
+    """Tail a GROWING file: exact-size chunks, never past the frontier.
+
+    The live-receiver ingest primitive (reference: c/search.cpp:122-160
+    services samples as the FPGA produces them; c/main.cpp:66-75 keeps
+    the task loop spinning forever).  The producer here is any process
+    appending to ``path`` — an SDR capture pipe drain, a network fetch,
+    a writer thread in tests.
+
+    Semantics:
+    * chunks are read only when the writer's frontier (``st_size``) is
+      at least one whole chunk ahead — a partial tail is never returned
+      and the read position never passes the frontier;
+    * clean EOF: a sidecar ``<path>.done`` file marks end-of-stream —
+      iteration ends once the remaining whole chunks are drained;
+    * stall: no growth for ``stall_timeout_s`` ends iteration with
+      ``stalled=True`` (distinguishable from clean EOF);
+    * fall-behind: ``max_lag_bytes`` records the worst distance between
+      the frontier and the read position.  With ``max_lag_bytes_limit``
+      set, the reader SKIPS ahead (whole chunks) once the lag exceeds
+      the limit, counting ``skipped_bytes`` — tracking channels glitch
+      over a skip and the receiver's watchdog + re-acquisition recover,
+      which is honest live-receiver fall-behind behavior.
+    """
+
+    def __init__(self, path: str, stall_timeout_s: float = 5.0,
+                 poll_s: float = 0.02,
+                 max_lag_bytes_limit: Optional[int] = None):
+        self.path = path
+        self.stall_timeout_s = stall_timeout_s
+        self.poll_s = poll_s
+        self.max_lag_bytes_limit = max_lag_bytes_limit
+        self.stalled = False
+        self.pos = 0                # bytes consumed (read or skipped)
+        self.max_lag_bytes = 0
+        self.skipped_bytes = 0
+        self.waits = 0              # times the reader out-ran the writer
+
+    def chunks(self, nbytes: int) -> Iterator[bytes]:
+        import os
+        import time
+
+        with open(self.path, "rb") as f:
+            waited = 0.0
+            while True:
+                frontier = os.fstat(f.fileno()).st_size
+                lag = frontier - self.pos
+                if lag > self.max_lag_bytes:
+                    self.max_lag_bytes = lag
+                limit = self.max_lag_bytes_limit
+                if limit is not None and lag > limit:
+                    # skip whole chunks until within half the limit
+                    n_skip = ((lag - limit // 2) // nbytes) * nbytes
+                    if n_skip > 0:
+                        f.seek(n_skip, 1)
+                        self.pos += n_skip
+                        self.skipped_bytes += n_skip
+                        lag -= n_skip
+                if lag >= nbytes:
+                    raw = f.read(nbytes)
+                    assert len(raw) == nbytes
+                    self.pos += nbytes
+                    waited = 0.0
+                    yield raw
+                    continue
+                if os.path.exists(self.path + ".done"):
+                    return              # clean end-of-stream
+                if waited >= self.stall_timeout_s:
+                    self.stalled = True
+                    return
+                self.waits += 1
+                time.sleep(self.poll_s)
+                waited += self.poll_s
+
+
+class FollowSource1Bit(FileSource1Bit):
+    """Live personality: tail a growing bit-packed 1-bit capture.
+
+    Drop-in for :class:`FileSource1Bit` (same block interfaces, so the
+    receiver's packed-word fast path applies) but the file may still be
+    being written: blocks are served as the writer produces them,
+    realtime pacing implied by availability.  See :class:`_FollowReader`
+    for EOF-vs-stall and fall-behind semantics.
+    """
+
+    def __init__(self, path: str, cfg: ReceiverConfig,
+                 stall_timeout_s: float = 5.0, poll_s: float = 0.02,
+                 max_lag_s: Optional[float] = None):
+        super().__init__(path, cfg, per_block_phase=False)
+        limit = (None if max_lag_s is None
+                 else int(max_lag_s * cfg.fs / 8))
+        self.reader = _FollowReader(path, stall_timeout_s, poll_s,
+                                    max_lag_bytes_limit=limit)
+
+    @property
+    def stalled(self) -> bool:
+        return self.reader.stalled
+
+    @property
+    def max_lag_s(self) -> float:
+        return self.reader.max_lag_bytes * 8 / self.fs
+
+    def bit_blocks(self, block_len: int) -> Iterator[np.ndarray]:
+        assert block_len % 8 == 0
+        for raw in self.reader.chunks(block_len // 8):
+            yield loaders.unpack_1bit(raw)
+
+    def packed_blocks(self, block_len: int) -> Iterator[np.ndarray]:
+        assert block_len % 32 == 0
+        from ..ops.onebit import packed_words_from_file_bytes
+        for raw in self.reader.chunks(block_len // 8):
+            yield packed_words_from_file_bytes(raw)
+
+    def blocks(self, block_len: int) -> Iterator[np.ndarray]:
+        assert block_len % 8 == 0
+        for raw in self.reader.chunks(block_len // 8):
+            bits = loaders.unpack_1bit(raw)
+            sample0 = (self.reader.pos - len(raw)) * 8
+            yield loaders.mix_1bit_block(bits, self.cfg, sample0=sample0)
+
+
+class FollowIQSource(IQFileSource):
+    """Live personality for interleaved 8-bit I/Q captures (tailing)."""
+
+    def __init__(self, path: str, fs: float, dtype: str = "int8",
+                 remove_dc: bool = True, stall_timeout_s: float = 5.0,
+                 poll_s: float = 0.02, max_lag_s: Optional[float] = None):
+        super().__init__(path, fs, dtype, remove_dc)
+        limit = (None if max_lag_s is None else int(max_lag_s * fs * 2))
+        self.reader = _FollowReader(path, stall_timeout_s, poll_s,
+                                    max_lag_bytes_limit=limit)
+
+    @property
+    def stalled(self) -> bool:
+        return self.reader.stalled
+
+    @property
+    def max_lag_s(self) -> float:
+        return self.reader.max_lag_bytes / (2 * self.fs)
+
+    def raw_blocks(self, block_len: int) -> Iterator[np.ndarray]:
+        for raw in self.reader.chunks(2 * block_len):
+            yield np.frombuffer(raw, dtype=self._item)
+
+    def blocks(self, block_len: int) -> Iterator[np.ndarray]:
+        item = self._item
+        for raw in self.reader.chunks(2 * block_len * item.itemsize):
+            a = np.frombuffer(raw, dtype=item).astype(np.float32)
+            if self.dtype == "uint8":
+                a = a - 128.0
+            y = a[0::2] + 1j * a[1::2]
+            if self.remove_dc:
+                y = y - y.mean()
+            yield y.astype(np.complex64)
+
+
 class Prefetcher:
     """Background-thread block prefetch (double/triple buffering).
 
-    ``mode``: "iq" (complex blocks), "bits" (unpacked {0,1} samples), or
-    "packed" (uint32 words, 1 bit/sample — the cheapest link format).
+    ``mode``: "iq" (complex blocks), "bits" (unpacked {0,1} samples),
+    "packed" (uint32 words, 1 bit/sample — the cheapest link format), or
+    "rawiq" (the 8-bit capture's own interleaved bytes).
+
+    ``transform``: optional callable applied to each block IN the pump
+    thread.  The receiver passes its host->device upload here so
+    transfers overlap device compute and output fetches instead of
+    serializing with them (JAX dispatch is thread-safe; the device
+    orders work by data dependency).
     """
 
     def __init__(self, source: SampleSource, block_len: int, depth: int = 3,
-                 bits: bool = False, mode: Optional[str] = None):
+                 bits: bool = False, mode: Optional[str] = None,
+                 transform=None):
         self._q: queue.Queue = queue.Queue(maxsize=depth)
         self._src = source
         self._block_len = block_len
         self._mode = mode or ("bits" if bits else "iq")
+        self._transform = transform
         self._thread = threading.Thread(target=self._pump, daemon=True)
         self._thread.start()
 
     def _pump(self):
         try:
             name = {"bits": "bit_blocks", "packed": "packed_blocks",
-                    "iq": "blocks"}[self._mode]
+                    "rawiq": "raw_blocks", "iq": "blocks"}[self._mode]
             it = getattr(self._src, name)(self._block_len)
             for blk in it:
+                if self._transform is not None:
+                    blk = self._transform(blk)
                 self._q.put(blk)
         except BaseException as exc:  # re-raised in the consumer
             self._err = exc

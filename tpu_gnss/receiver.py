@@ -170,7 +170,10 @@ class Receiver:
                  acq_engine: str = "auto",
                  weak_min_svs: int = 4,
                  weak_noncoherent: int = 4,
-                 transfer_dtype: str = "int8"):
+                 transfer_dtype: str = "int8",
+                 quality_gate: bool = True,
+                 cn0_gate_dbhz: float = 25.0,
+                 lock_gate: float = 0.45):
         self.cfg = cfg
         self.searcher = FoldedSearcher(cfg, n_coherent=n_coherent)
         t_s = epochs_per_step * 1e-3
@@ -197,9 +200,19 @@ class Receiver:
         self.weak_min_svs = weak_min_svs
         self.weak_noncoherent = weak_noncoherent
         # complex-capture uplink quantization: "int8" sends quantized
-        # planes (4x less traffic, dequantized on device), "float32"
-        # sends exact planes
+        # planes (4x less traffic than float32, dequantized on device),
+        # "int4" sends packed nibbles (8x less; <0.1 dB SNR cost — for
+        # tunnel-/DCN-bound links), "float32" sends exact planes.  For
+        # 8-bit capture FILES, "int8" means the file's own bytes cross
+        # the link untouched and "int4" requantizes them 2x smaller.
         self.transfer_dtype = transfer_dtype
+        # solver inclusion gates + C/N0 weighting (probation analog,
+        # reference: c/channel.cpp:39,343,363): a channel must be
+        # Costas-locked and above the C/N0 floor before the solver
+        # trusts it; trusted channels are weighted by linear C/N0
+        self.quality_gate = quality_gate
+        self.cn0_gate_dbhz = cn0_gate_dbhz
+        self.lock_gate = lock_gate
 
     # ------------------------------------------------------------------
     def _cold_detections(self, head, bits: bool = False,
@@ -252,8 +265,8 @@ class Receiver:
     def process_source(self, source, max_duration_s: Optional[float] = None,
                        max_channels: Optional[int] = None,
                        chunk_s: float = 1.0,
-                       warm_ephemerides: Optional[dict] = None
-                       ) -> ReceiverResult:
+                       warm_ephemerides: Optional[dict] = None,
+                       on_solution=None) -> ReceiverResult:
         """Streaming full chain over a :class:`tpu_gnss.io.stream` source.
 
         Bounded memory: raw samples are consumed chunk-by-chunk; only the
@@ -265,6 +278,12 @@ class Receiver:
         checkpoint.  A warm channel only needs ONE subframe (any id) for
         its TOW anchor instead of decoding all of 1-3 — first fix in ~7 s
         of capture instead of ~20 s.
+
+        ``on_solution``: live-mode fix sink.  When given, NAV decode +
+        PVT run IN-STREAM at the solve cadence (the reference's 4 s
+        SolveTask loop, c/solve.cpp:297-317) and each fix is delivered
+        as it is computed — required for unbounded/following sources
+        where "at the end" never comes.
         """
         import jax.numpy as jnp
         from .io.stream import Prefetcher
@@ -287,14 +306,58 @@ class Receiver:
                       and chunk_len % 32 == 0)
         use_bits = (onebit_src and hasattr(source, "bit_blocks")
                     and not use_packed)
-        mode = "packed" if use_packed else ("bits" if use_bits else "iq")
-        blocks = iter(Prefetcher(source, chunk_len, mode=mode))
-        n_samples = (lambda b: 32 * len(b)) if use_packed else len
+        # 8-bit capture fast path: the file's own interleaved bytes cross
+        # the link (no host quantize/deinterleave pass); conversion runs
+        # on device (utils.xfer.to_device_iq8)
+        use_rawiq = (not use_packed and not use_bits
+                     and hasattr(source, "raw_blocks")
+                     and getattr(source, "dtype", None) in ("int8",
+                                                            "uint8"))
+        mode = ("packed" if use_packed else "bits" if use_bits
+                else "rawiq" if use_rawiq else "iq")
+        n_samples = ((lambda b: 32 * len(b)) if use_packed
+                     else (lambda b: len(b) // 2) if use_rawiq else len)
+
+        # Host->device uploads run IN the prefetch thread (JAX dispatch
+        # is thread-safe), so the link transfer of chunk k+1 overlaps
+        # chunk k's device compute and output fetch instead of
+        # serializing with them — the deepest version of the reference's
+        # SPI request/response pipelining (c/spi.cpp:34-53).  Items on
+        # the queue are (host_blk, device_seg, n_ep, n_samp).
+        xfer_state = {"sample0": 0}
+
+        def upload(blk):
+            n_samp = n_samples(blk)
+            n_ep = (n_samp // p // eps) * eps
+            if n_ep == 0:
+                return (blk, None, 0, n_samp)
+            s0 = xfer_state["sample0"]
+            xfer_state["sample0"] = s0 + n_ep * p
+            with METRICS.stage("receiver.transfer"):
+                if use_packed:
+                    # full word-aligned chunks by construction; device
+                    # unpack+mix of the file's own packed words
+                    assert n_ep * p == n_samp
+                    seg = self._mix_chunk_packed(blk, s0)
+                elif use_rawiq:
+                    from .utils.xfer import to_device_iq4, to_device_iq8
+                    fn = (to_device_iq4 if self.transfer_dtype == "int4"
+                          else to_device_iq8)
+                    seg = fn(blk[: 2 * n_ep * p],
+                             signed=source.dtype == "int8",
+                             remove_dc=getattr(source, "remove_dc", True))
+                else:
+                    seg = self._transfer(blk[: n_ep * p], use_bits, s0)
+            return (blk, seg, n_ep, n_samp)
+
+        blocks = iter(Prefetcher(source, chunk_len, mode=mode,
+                                 transform=upload))
 
         with METRICS.stage("receiver.read"):
-            first = next(blocks, None)
-        if first is None:
+            first_item = next(blocks, None)
+        if first_item is None:
             return ReceiverResult(detections=[], channels=[], solutions=[])
+        first = first_item[0]
         assert n_samples(first) >= self.searcher.block_len, \
             "chunk_s too small for the acquisition block"
 
@@ -306,32 +369,41 @@ class Receiver:
         t_epoch = p / cfg.fs
         acq_head_len = self.weak_noncoherent * self.searcher.block_len
 
-        def try_acquire(blk, epoch_now):
-            """Search for SVs not currently tracked; fill free slots.
-
-            The SearchEnable/SearchTask loop analog
-            (reference: c/search.cpp:214-238, c/channel.cpp:246-254).
-            """
-            nonlocal state
-            free = [ch for ch in range(n_chan) if ch not in live]
-            if not free:
-                return []
+        def head_of(blk):
+            """Acquisition-ready head samples of a host chunk."""
             if use_packed:     # acquisition sees {0,1} samples
                 from .io import loaders
-                head = loaders.unpack_1bit(blk.tobytes())[:acq_head_len]
-            else:
-                head = blk[:acq_head_len]
+                return loaders.unpack_1bit(blk.tobytes())[:acq_head_len]
+            if use_rawiq:      # convert just the head on host
+                from .io.loaders import iq8_to_complex
+                return iq8_to_complex(
+                    blk[: 2 * acq_head_len],
+                    signed=source.dtype == "int8",
+                    remove_dc=getattr(source, "remove_dc", True))
+            return blk[:acq_head_len]
+
+        def start_detections(dets, epoch_searched, epoch_now):
+            """Seed channels from detections; fill free slots.
+
+            The ChanStart analog (reference: c/search.cpp:214-238).
+            When the search ran on an earlier chunk (async re-acq),
+            the code phase is propagated forward at the Doppler-implied
+            chip rate — the reference's code-creep correction
+            (c/channel.cpp:156-163: ca_shift += round(ca_dop*secs*FS/CPS)).
+            """
+            nonlocal state
+            from .constants import L1_HZ
+            dt = (epoch_now - epoch_searched) * 1e-3
+            free = [ch for ch in range(n_chan) if ch not in live]
             tracked = {r.prn for r in live.values()}
-            dets = sorted(
-                self._cold_detections(head, bits=use_bits or use_packed,
-                                      skip_prns=frozenset(tracked)),
-                key=lambda d: -d["snr"])
             started = []
-            for d in dets:
+            for d in sorted(dets, key=lambda x: -x["snr"]):
                 if d["prn"] in tracked or not free:
                     continue
                 ch = free.pop(0)
-                code_phase = d["ca_shift"] * CHIP_RATE_HZ / cfg.fs
+                rate = CHIP_RATE_HZ * (1.0 + d["doppler_hz"] / L1_HZ)
+                code_phase = (d["ca_shift"] * CHIP_RATE_HZ / cfg.fs
+                              + rate * dt) % CODE_LEN_CHIPS
                 state = tc.start_channel(state, ch, d["doppler_hz"],
                                          code_phase)
                 slot_prns[ch] = d["prn"]
@@ -346,6 +418,16 @@ class Receiver:
                 started.append(d)
             return started
 
+        def try_acquire(blk, epoch_now):
+            """Synchronous search + channel start (cold start path)."""
+            if all(ch in live for ch in range(n_chan)):
+                return []
+            tracked = frozenset(r.prn for r in live.values())
+            dets = self._cold_detections(head_of(blk),
+                                         bits=use_bits or use_packed,
+                                         skip_prns=tracked)
+            return start_detections(dets, epoch_now, epoch_now)
+
         with METRICS.stage("receiver.acquire"):
             first_dets = try_acquire(first, 0)
         reacq_base = int(self.reacq_interval_s * 1000)
@@ -358,51 +440,111 @@ class Receiver:
             Runs while the CURRENT chunk computes on device — the host
             side of the pipelining.
             """
-            nonlocal state, reacq_cooldown, next_reacq
-            out_dev, snapshot = pending
+            nonlocal state, reacq_cooldown, next_reacq, n_drained
+            out_fut, snapshot, chunk_ep = pending
+            # the blocking fetch absorbs any not-yet-finished device
+            # compute plus the device->host copy (a worker thread has
+            # been pulling it since dispatch); bookkeeping is timed
+            # separately so the two can't be conflated
+            with METRICS.stage("receiver.fetch"):
+                arr = out_fut.result()           # [4, n_ep, n_chan]
             with METRICS.stage("receiver.drain"):
-                arr = np.asarray(out_dev)        # [4, n_ep, n_chan]
-            ip, qp, cf, caf = arr
-            # skip channels the PREVIOUS drain declared lost (their slot
-            # was stopped; this chunk's column is post-loss garbage), and
-            # copy the column slices — views would pin the whole all-slot
-            # chunk buffer in memory for the run's lifetime
-            for r in snapshot:
-                if r.lost:
-                    continue
-                r.append_hist(np.ascontiguousarray(ip[:, r.ch]),
-                              np.ascontiguousarray(qp[:, r.ch]),
-                              np.ascontiguousarray(cf[:, r.ch]),
-                              np.ascontiguousarray(caf[:, r.ch]), t_epoch)
-            # watchdog: free dead channels + their slots (SignalLost)
-            self._watchdog([r for r in snapshot if not r.lost])
-            stopped = False
-            for ch in [c for c, r in live.items() if r.lost]:
-                state = tc.stop_channel(state, ch)
-                slot_prns[ch] = None
-                del live[ch]
-                stopped = True
-            if stopped:     # a loss re-arms the search promptly
-                reacq_cooldown = reacq_base
-                next_reacq = min(next_reacq, n_dispatched + reacq_base)
+                ip, qp, cf, caf = arr
+                # skip channels the PREVIOUS drain declared lost (their
+                # slot was stopped; this chunk's column is post-loss
+                # garbage), and copy the column slices — views would pin
+                # the whole all-slot chunk buffer for the run's lifetime
+                for r in snapshot:
+                    if r.lost:
+                        continue
+                    r.append_hist(np.ascontiguousarray(ip[:, r.ch]),
+                                  np.ascontiguousarray(qp[:, r.ch]),
+                                  np.ascontiguousarray(cf[:, r.ch]),
+                                  np.ascontiguousarray(caf[:, r.ch]),
+                                  t_epoch)
+                # watchdog: free dead channels + their slots (SignalLost)
+                self._watchdog([r for r in snapshot if not r.lost])
+                stopped = False
+                for ch in [c for c, r in live.items() if r.lost]:
+                    state = tc.stop_channel(state, ch)
+                    slot_prns[ch] = None
+                    del live[ch]
+                    stopped = True
+                if stopped:     # a loss re-arms the search promptly
+                    reacq_cooldown = reacq_base
+                    next_reacq = min(next_reacq,
+                                     n_dispatched + reacq_base)
+                n_drained += chunk_ep
 
         import os as _os
         import time as _time
         trace = bool(_os.environ.get("TPU_GNSS_TRACE_CHUNKS"))
         n_dispatched = 0     # epochs sent to the tracker
-        pending = None       # previous chunk's (device outputs, records)
-        blk = first
+        n_drained = 0        # epochs whose outputs reached the records
+        solutions: list = []
+        step_ms = int(self.solve_interval_s * 1000)
+        next_solve = step_ms
+
+        def instream_solve():
+            """Live-mode NAV decode + PVT at the solve cadence."""
+            nonlocal next_solve
+            while next_solve <= n_drained - 2:
+                with METRICS.stage("receiver.nav"):
+                    for r in recs:
+                        if not r.lost:
+                            self._decode_nav(r)
+                with METRICS.stage("receiver.solve"):
+                    sol = self._solve_at(recs, next_solve)
+                if sol is not None:
+                    sol.snap_epoch = next_solve
+                    solutions.append(sol)
+                    on_solution(sol)
+                next_solve += step_ms
+
+        # steady-state re-acquisition searches run in a worker thread
+        # (the reference's SearchTask coroutine spinning alongside the
+        # channel tasks, c/main.cpp:66-68); results are applied at the
+        # next chunk boundary with code-creep propagation
+        import threading as _threading
+        from concurrent.futures import ThreadPoolExecutor
+        fetch_pool = ThreadPoolExecutor(max_workers=1)
+        reacq_job = None     # {"done", "dets", "epoch"}
+
+        def launch_reacq(blk, epoch_now):
+            tracked = frozenset(r.prn for r in live.values())
+            job = {"done": False, "dets": [], "epoch": epoch_now}
+
+            def work():
+                try:
+                    with METRICS.stage("receiver.acquire"):
+                        job["dets"] = self._cold_detections(
+                            head_of(blk), bits=use_bits or use_packed,
+                            skip_prns=tracked)
+                finally:
+                    job["done"] = True
+
+            _threading.Thread(target=work, daemon=True).start()
+            return job
+
+        # Outstanding chunks before the host drains: depth 2 in batch
+        # mode lets the fetch worker finish chunk k-2's download while
+        # k-1 computes and k uploads — the main loop then never blocks
+        # on a fetch.  Live mode keeps depth 1 so fixes/watchdog lag at
+        # most one chunk behind the stream.
+        from collections import deque
+        depth = 1 if on_solution is not None else 2
+        pendings: deque = deque()
+        item = first_item
         t_chunk = _time.perf_counter()
-        while blk is not None:
-            n_samp = n_samples(blk)
-            n_ep = (n_samp // p // eps) * eps
-            tail_ep = n_samp // p - n_ep
+        while item is not None:
+            blk, seg, n_ep, n_samp = item
             if n_ep == 0:
                 break
-            if (n_dispatched >= next_reacq and len(live) < n_chan
-                    and n_samp >= self.searcher.block_len):
-                with METRICS.stage("receiver.acquire"):
-                    started = try_acquire(blk, n_dispatched)
+            tail_ep = n_samp // p - n_ep
+            if reacq_job is not None and reacq_job["done"]:
+                started = start_detections(reacq_job["dets"],
+                                           reacq_job["epoch"],
+                                           n_dispatched)
                 # fruitless sky searches back off exponentially (a hit
                 # or a fresh signal loss resets the cadence); the live
                 # SearchEnable loop keeps spinning, just cheaper
@@ -410,16 +552,12 @@ class Receiver:
                                   else min(2 * reacq_cooldown,
                                            8 * reacq_base))
                 next_reacq = n_dispatched + reacq_cooldown
+                reacq_job = None
+            if (reacq_job is None and n_dispatched >= next_reacq
+                    and len(live) < n_chan
+                    and n_samp >= self.searcher.block_len):
+                reacq_job = launch_reacq(blk, n_dispatched)
             tables, code_ffts = self._tables_for(tuple(slot_prns), n_chan)
-            with METRICS.stage("receiver.transfer"):
-                if use_packed:
-                    # full word-aligned chunks by construction; device
-                    # unpack+mix of the file's own packed words
-                    assert n_ep * p == n_samp
-                    seg = self._mix_chunk_packed(blk, n_dispatched * p)
-                else:
-                    seg = self._transfer(blk[: n_ep * p], use_bits,
-                                         n_dispatched * p)
             with METRICS.stage("receiver.track"):
                 state, out = tc.track_epochs(
                     seg, state, tables, fs=cfg.fs,
@@ -429,17 +567,18 @@ class Receiver:
                     agc_thresholds=self.agc_thresholds)
                 out_dev = _pack_out(out)
                 try:
-                    # start the device->host copy now; the blocking
-                    # np.asarray in drain() then finds it complete — the
-                    # fetch round-trip overlaps the next chunk's compute
+                    # start the device->host copy immediately; the
+                    # worker's np.asarray then finds it complete
                     out_dev.copy_to_host_async()
                 except Exception:   # backends without async host copies
                     pass
-            new_pending = (out_dev, list(live.values()))
+            pendings.append((fetch_pool.submit(np.asarray, out_dev),
+                             list(live.values()), n_ep))
             n_dispatched += n_ep
-            if pending is not None:
-                drain(pending)
-            pending = new_pending
+            while len(pendings) > depth:
+                drain(pendings.popleft())
+                if on_solution is not None:
+                    instream_solve()
             if trace:
                 now = _time.perf_counter()
                 print(f"[chunk] epochs={n_dispatched} chans={len(live)} "
@@ -452,17 +591,21 @@ class Receiver:
             if tail_ep:
                 break       # partial final chunk: nothing follows
             with METRICS.stage("receiver.read"):
-                blk = next(blocks, None)
-        if pending is not None:
-            drain(pending)
+                item = next(blocks, None)
+        while pendings:
+            drain(pendings.popleft())
+            if on_solution is not None:
+                instream_solve()
+        fetch_pool.shutdown(wait=False)
 
         with METRICS.stage("receiver.nav"):
             for r in recs:
                 self._decode_nav(r)
-        solutions = []
-        step = int(self.solve_interval_s * 1000)
-        snap_epochs = list(range(step, n_dispatched, step))
-        if n_dispatched - 2 not in snap_epochs and n_dispatched > 2:
+        done = {s.snap_epoch for s in solutions}
+        snap_epochs = [e for e in range(step_ms, n_dispatched, step_ms)
+                       if e not in done]
+        if (n_dispatched > 2 and n_dispatched - 2 not in done
+                and n_dispatched - 2 not in snap_epochs):
             snap_epochs.append(n_dispatched - 2)
         with METRICS.stage("receiver.solve"):
             for e_snap in snap_epochs:
@@ -470,6 +613,9 @@ class Receiver:
                 if sol is not None:
                     sol.snap_epoch = e_snap
                     solutions.append(sol)
+                    if on_solution is not None:   # end-of-stream stragglers
+                        on_solution(sol)
+        solutions.sort(key=lambda s: s.snap_epoch)
         return ReceiverResult(detections=first_dets, channels=recs,
                               solutions=solutions)
 
@@ -481,6 +627,11 @@ class Receiver:
             return self._mix_chunk(
                 jnp.asarray(np.ascontiguousarray(blk)), sample0)
         blk = np.ascontiguousarray(blk)
+        if self.transfer_dtype == "int4":
+            from .utils.xfer import to_device_complex_i4
+            rms = float(np.sqrt(np.mean(np.abs(blk[:65536]) ** 2)))
+            scale = 7.0 / (3.0 * rms) if rms > 1e-12 else 1.0
+            return to_device_complex_i4(blk, scale)
         if self.transfer_dtype == "int8":
             from .utils.xfer import to_device_complex_i8
             # per-chunk 6-sigma scale: adapts to level drift and never
@@ -567,10 +718,18 @@ class Receiver:
                 r.lost = True
 
     def _decode_nav(self, r: ChannelRecord) -> None:
+        """(Re-)decode a channel's NAV stream from its prompt history.
+
+        Idempotent: live mode re-runs it as history grows, so the
+        subframe list is rebuilt from scratch each call.
+        """
         from .track.quality import cn0_nwpr
         ip = r.ip_hist
         if len(ip) < 40 * CODES_PER_BIT:
             return
+        r.subframes = []
+        r.last_subframe_bit = None
+        r.last_tow = None
         qp = r.qp_hist
         r.cn0_dbhz = cn0_nwpr(ip[-2000:], qp[-2000:])
         # bit sync on the post-pull-in stream, but bit indices must stay
@@ -625,13 +784,31 @@ class Receiver:
         All channels are sampled at the same receiver epoch — the trivial
         array analog of the reference's spi_hog atomic multi-channel clock
         capture (reference: c/solve.cpp:62-85).
+
+        Channel quality is load-bearing here: the Costas lock detector
+        and C/N0 gate solver inclusion (the probation analog,
+        reference: c/channel.cpp:39,343,363 — a channel must prove
+        itself before the solver trusts it), and the WLS weights are
+        C/N0-derived (1/sigma^2 of the DLL thermal noise is
+        first-order proportional to linear C/N0) instead of raw prompt
+        power.
         """
+        from .track.quality import cn0_nwpr, pll_lock_metric
         t_tx, ephs, weights, dops, used = [], [], [], [], []
         for r in recs:
             e_local = e_snap - r.start_epoch  # records may start mid-run
             if (not r.eph.valid()
                     or e_local >= r.n_epochs or e_local <= 0):
                 continue
+            if self.quality_gate:
+                ip_t = r.hist("ip")[max(0, e_local - 2000): e_local]
+                qp_t = r.hist("qp")[max(0, e_local - 2000): e_local]
+                lock = pll_lock_metric(ip_t, qp_t, window=200)
+                cn0 = cn0_nwpr(ip_t, qp_t)
+                if lock < self.lock_gate:
+                    continue
+                if cn0 == cn0 and cn0 < self.cn0_gate_dbhz:
+                    continue
             # anchor on the LATEST decoded subframe preceding this
             # snapshot (subframes arrive every 6 s; anchoring on the
             # capture's final subframe would skip every earlier snapshot)
@@ -651,8 +828,14 @@ class Receiver:
             t = t0 + (a_snap - n_per * CODE_LEN_CHIPS) / CHIP_RATE_HZ
             t_tx.append(t)
             ephs.append(r.eph)
-            ip = r.ip_hist[max(0, e_local - 8): e_local]
-            weights.append(float(np.mean(np.square(ip))))
+            if self.quality_gate:
+                # C/N0-derived weight; None (short history) filled with
+                # the median below so scales never mix
+                weights.append(float(10.0 ** (cn0 / 10.0))
+                               if cn0 == cn0 else None)
+            else:   # gate off: the reference's prompt-power weighting
+                ip = r.ip_hist[max(0, e_local - 8): e_local]
+                weights.append(float(np.mean(np.square(ip))))
             # carrier Doppler at the snapshot, smoothed over the last
             # 100 ms to average PLL jitter (the loop BW is ~18 Hz)
             cfh = r.carrier_freq_hist[max(0, e_local - 100): e_local]
@@ -660,6 +843,9 @@ class Receiver:
             used.append(r)
         if len(t_tx) < 4:
             return None
+        known = [w for w in weights if w is not None]
+        fill = float(np.median(known)) if known else 1.0
+        weights = [fill if w is None else w for w in weights]
         sol = pvt.solve_position(np.asarray(t_tx), ephs,
                                  np.asarray(weights), apply_iono=True)
         if sol is None or not sol.converged:

@@ -52,6 +52,102 @@ def to_device_complex_i8(x: np.ndarray, scale: float) -> jax.Array:
                             jnp.float32(1.0 / scale))
 
 
+import functools
+
+
+@functools.partial(jax.jit, static_argnames=("remove_dc",))
+def _unpack_iq4(packed: jnp.ndarray, inv_scale: jnp.ndarray,
+                remove_dc: bool) -> jnp.ndarray:
+    """Packed int4 I/Q bytes (I = low nibble, Q = high) -> complex64."""
+    b = packed.astype(jnp.int32)
+    lo = b & 0xF
+    lo = lo - jnp.where(lo >= 8, 16, 0)
+    hi = (b >> 4) & 0xF
+    hi = hi - jnp.where(hi >= 8, 16, 0)
+    re = lo.astype(jnp.float32) * inv_scale
+    im = hi.astype(jnp.float32) * inv_scale
+    if remove_dc:
+        re = re - jnp.mean(re)
+        im = im - jnp.mean(im)
+    return (re + 1j * im).astype(jnp.complex64)
+
+
+def _pack_nibbles(qi: np.ndarray, qq: np.ndarray) -> np.ndarray:
+    """Two int8 arrays in [-7, 7] -> one uint8 array of packed nibbles."""
+    return ((qi & 0xF) | ((qq & 0xF) << 4)).astype(np.uint8)
+
+
+def to_device_complex_i4(x: np.ndarray, scale: float) -> jax.Array:
+    """4-bit quantized transfer: 1 byte/sample, half of the int8 planes.
+
+    GPS signals are noise-dominated, so a ~3-sigma-scaled 4-bit uniform
+    quantizer costs <0.1 dB of post-correlation SNR (vs ~2 dB for the
+    1-bit capture format the reference itself uses everywhere) — the
+    right trade when the host->device link, not the MXU, bounds
+    realtime factor.  Callers pick ``scale`` ~ 7/(3*rms).
+    """
+    x = np.asarray(x)
+    qi = np.clip(np.rint(x.real * scale), -7, 7).astype(np.int8)
+    qq = np.clip(np.rint(x.imag * scale), -7, 7).astype(np.int8)
+    return _unpack_iq4(jnp.asarray(_pack_nibbles(qi, qq)),
+                       jnp.float32(1.0 / scale), False)
+
+
+def to_device_iq4(raw: np.ndarray, signed: bool,
+                  remove_dc: bool = True) -> jax.Array:
+    """8-bit capture bytes requantized to packed int4 for the link.
+
+    Same output contract as :func:`to_device_iq8` (complex64 baseband,
+    device-side DC removal) at half the transfer size; amplitudes are
+    preserved up to the 4-bit step (scale is divided back out).
+    """
+    raw = np.asarray(raw)
+    x = raw.astype(np.float32)
+    if not signed:
+        x = x - 128.0
+    rms = float(np.sqrt(np.mean(np.square(x[:65536]))))
+    scale = 7.0 / (3.0 * rms) if rms > 1e-12 else 1.0
+    q = np.clip(np.rint(x * scale), -7, 7).astype(np.int8)
+    return _unpack_iq4(jnp.asarray(_pack_nibbles(q[0::2], q[1::2])),
+                       jnp.float32(1.0 / scale), remove_dc)
+
+
+@functools.partial(jax.jit, static_argnames=("signed", "remove_dc"))
+def _deinterleave_iq8(raw: jnp.ndarray, signed: bool,
+                      remove_dc: bool) -> jnp.ndarray:
+    """Interleaved 8-bit I/Q bytes -> complex64 baseband, on device.
+
+    ``raw`` is the capture file's own bytes (int8 HackRF / uint8
+    rtl-sdr order, reference: proc_hackrf_bin_for_gps.m:10-16,
+    proc_rtl_bin_for_gps.m:20-27); deinterleave, recenter, and the
+    per-chunk DC removal (reference: gps_8bit_proc.m:23-26) all run on
+    device so the host touches nothing but the file read.
+    """
+    v = raw.astype(jnp.float32)
+    if not signed:
+        v = v - 128.0
+    v = v.reshape(-1, 2)
+    re, im = v[:, 0], v[:, 1]
+    if remove_dc:
+        re = re - jnp.mean(re)
+        im = im - jnp.mean(im)
+    return (re + 1j * im).astype(jnp.complex64)
+
+
+def to_device_iq8(raw: np.ndarray, signed: bool,
+                  remove_dc: bool = True) -> jax.Array:
+    """Upload native interleaved 8-bit I/Q bytes; convert on device.
+
+    One transfer of the capture's own bytes (2 bytes/sample — no host
+    quantize/deinterleave pass at all).  ``raw`` must already be viewed
+    as the capture's dtype (int8 or uint8) so the upload preserves
+    values exactly.
+    """
+    raw = np.asarray(raw)
+    assert raw.dtype in (np.int8, np.uint8)
+    return _deinterleave_iq8(jnp.asarray(raw), signed, remove_dc)
+
+
 @jax.jit
 def _split(c: jnp.ndarray):
     return jnp.real(c).astype(jnp.float32), jnp.imag(c).astype(jnp.float32)
