@@ -51,7 +51,7 @@ def scene():
 
 
 def build_scene(duration: float = 20.0, n_sv: int = 6, noise: float = 0.7,
-                seed: int = 42, dropout=None):
+                seed: int = 42, dropout=None, degrade=None):
     """Consistent multi-SV scene: (iq, ephs, rx_ecef).
 
     Shared by the e2e tests and tools/e2e_payload.py /
@@ -62,6 +62,11 @@ def build_scene(duration: float = 20.0, n_sv: int = 6, noise: float = 0.7,
     ``dropout``: optional ``(sv_index, t0_s, t1_s)`` — that SV's signal
     vanishes over [t0, t1) of receiver time (antenna blockage), for
     watchdog / re-acquisition soaks.
+
+    ``degrade``: optional ``(sv_index, t0_s, gain)`` — that SV's
+    amplitude drops to ``gain`` from t0 on (deep fade: still present,
+    but C/N0 collapses and tracking slips), for solver quality-gate
+    tests.
     """
     rng = np.random.default_rng(seed)
     ephs = make_constellation(n_sv, t_oe=T_OE)
@@ -79,25 +84,45 @@ def build_scene(duration: float = 20.0, n_sv: int = 6, noise: float = 0.7,
     t_rx0 = T_OE + 88.6
     n_sf = int(np.ceil(duration / 6.0)) + 2
     sids = tuple(([4, 1, 2, 3] * ((n_sf + 3) // 4))[:n_sf])
+    # Segmented synthesis (bit-identical to whole-stream: explicit
+    # global phase refs + elementwise math) bounds peak RSS at ~seg_n
+    # float64 temporaries instead of ~10 full-capture ones — a 60 s
+    # soak scene generates in well under 1 GB instead of >10 GB.
     iq = np.zeros(n, dtype=np.complex64)
+    seg_n = int(2.0 * FS)
     for k, eph in enumerate(ephs):
         tsv_k = sv_time_knots(eph, rx, t_rx0 + t_knots)
         poly = np.polynomial.Polynomial.fit(t_knots, tsv_k, deg=fit_deg)
-        t = np.arange(n, dtype=np.float64) / FS
-        tsv = poly(t)
+        tsv0 = float(poly(0.0))
         # stream origin: the subframe boundary below t_sv0 (sf4 filler
         # occupies [sf0, sf0+6); t_sv0 lands ~4.5 s into it)
-        sf0 = 6.0 * np.floor(tsv[0] / 6.0)
+        sf0 = 6.0 * np.floor(tsv0 / 6.0)
         tow0 = int(sf0 / 6.0) + 1
         frames = encode_subframes(eph, tow_start=tow0, sids=sids)
         stream = np.concatenate(frames)
-        sig = synth.synth_from_sv_time(
-            eph_prn(k), tsv, stream, sf0, FS, amplitude=1.0)
-        if dropout is not None and dropout[0] == k:
-            sig[int(dropout[1] * FS): int(dropout[2] * FS)] = 0.0
-        iq += sig
-    iq += (noise * (rng.standard_normal(n) + 1j * rng.standard_normal(n))
-           / np.sqrt(2)).astype(np.complex64)
+        for s0 in range(0, n, seg_n):
+            s1 = min(s0 + seg_n, n)
+            t = np.arange(s0, s1, dtype=np.float64) / FS
+            sig = synth.synth_from_sv_time(
+                eph_prn(k), poly(t), stream, sf0, FS, amplitude=1.0,
+                t_rx=t, t_rx_ref=0.0, t_sv_ref=tsv0)
+            if dropout is not None and dropout[0] == k:
+                a = max(int(dropout[1] * FS), s0) - s0
+                b = max(int(dropout[2] * FS), s0) - s0
+                sig[a:b] = 0.0
+            if degrade is not None and degrade[0] == k:
+                a = min(max(int(degrade[1] * FS), s0) - s0, s1 - s0)
+                sig[a:] *= degrade[2]
+            iq[s0:s1] += sig
+    # chunked draws == one full draw (Generator normals are a sequential
+    # stream); real rail fully first, then imag, preserving the exact
+    # noise realization of the historical whole-array version
+    for rail in (1.0, 1.0j):
+        for s0 in range(0, n, seg_n):
+            s1 = min(s0 + seg_n, n)
+            v = rng.standard_normal(s1 - s0)
+            iq[s0:s1] += (rail * (noise / np.sqrt(2)) * v
+                          ).astype(np.complex64)
     return iq, ephs, rx
 
 
@@ -196,3 +221,37 @@ def test_full_chain_from_1bit_if(scene, tmp_path):
     sol = res.solutions[-1]
     err = np.linalg.norm(np.array([sol.x, sol.y, sol.z]) - np.array(rx))
     assert err < 60.0, f"position error {err:.1f} m through 1-bit front end"
+
+
+@pytest.mark.slow
+def test_quality_gate_excludes_degraded_channel():
+    """A deep-faded channel (C/N0 collapse, tracking slips) is excluded
+    by the C/N0 / Costas-lock solver gate, and the gated fix is at least
+    as good as the power-weighted fix that keeps it (VERDICT r2 #6;
+    probation analog, reference c/channel.cpp:39,343,363)."""
+    deg_idx = 3
+    iq, ephs, rx = build_scene(duration=26.0, n_sv=6,
+                               degrade=(deg_idx, 20.0, 0.05))
+    deg_prn = eph_prn(deg_idx)
+    cfg = ReceiverConfig(fs=FS, fc=FS / 4, max_fo=5000.0, fft_len=4096,
+                         snr_threshold=20.0)
+    # los_power_ratio low so the WATCHDOG does not free the channel —
+    # the point is the solver's own gate, not signal-loss handling
+    gated = Receiver(cfg, los_power_ratio=0.002,
+                     quality_gate=True).process_iq(iq)
+    ungated = Receiver(cfg, los_power_ratio=0.002,
+                       quality_gate=False).process_iq(iq)
+
+    assert gated.solutions and ungated.solutions
+    sg, su = gated.solutions[-1], ungated.solutions[-1]
+    assert sg.snap_epoch >= 24000 and su.snap_epoch >= 24000
+    # the degraded PRN must be in the ungated solution but gated out
+    assert deg_prn in [s["prn"] for s in su.sats], \
+        "premise broken: ungated solver no longer sees the faded SV"
+    assert deg_prn not in [s["prn"] for s in sg.sats], \
+        "quality gate failed to exclude the faded SV"
+    err_g = np.linalg.norm(np.array([sg.x, sg.y, sg.z]) - np.array(rx))
+    err_u = np.linalg.norm(np.array([su.x, su.y, su.z]) - np.array(rx))
+    assert err_g < 10.0, f"gated fix error {err_g:.1f} m"
+    assert err_g <= err_u + 0.5, (
+        f"gating made the fix worse: {err_g:.1f} vs {err_u:.1f} m")

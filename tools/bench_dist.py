@@ -56,10 +56,11 @@ def multiprocess_bench(processes, blocks_per_dev: int, cpu_devices: int,
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     results, t1 = [], None
     for n_proc in processes:
-        if pin_cores and n_proc > n_cores:
-            print(f"# skipping {n_proc} processes: only {n_cores} cores "
-                  "to pin", file=sys.stderr)
-            continue
+        # more processes than cores: pin round-robin (i % n_cores); the
+        # meaningful efficiency for such rows is vs the HARDWARE-bound
+        # linear target (min(n_proc, n_cores) cores' worth of compute),
+        # reported as efficiency_vs_hw_bound — it isolates the
+        # collective/runtime overhead from plain core oversubscription
         # best of 3 trials: one-core-per-process walls are sensitive to
         # unrelated host load; the fastest trial is the cleanest view of
         # the collective overhead itself
@@ -70,7 +71,8 @@ def multiprocess_bench(processes, blocks_per_dev: int, cpu_devices: int,
             with tempfile.TemporaryDirectory() as td:
                 outs = [os.path.join(td, f"p{i}.npz") for i in range(n_proc)]
                 procs = [subprocess.Popen(
-                    (["taskset", "-c", str(i)] if pin_cores else []) +
+                    (["taskset", "-c", str(i % n_cores)]
+                     if pin_cores else []) +
                     [sys.executable, "-m", "tpu_gnss.dist.multihost",
                      "--coordinator", f"127.0.0.1:{port}",
                      "--num-processes", str(n_proc), "--process-id", str(i),
@@ -93,14 +95,26 @@ def multiprocess_bench(processes, blocks_per_dev: int, cpu_devices: int,
             # ...` for true vs-1-process efficiency)
             t1 = tput / n_proc
         eff = tput / (t1 * n_proc)
-        results.append(dict(processes=n_proc,
-                            devices=n_dev,
-                            blocks=n_blk, wall_s=round(wall, 4),
-                            msample_prn_bin_s=round(tput / 1e6, 2),
-                            efficiency_vs_linear=round(eff, 3)))
+        hw = min(n_proc, n_cores) if pin_cores else n_proc
+        row = dict(processes=n_proc,
+                   devices=n_dev,
+                   blocks=n_blk, wall_s=round(wall, 4),
+                   msample_prn_bin_s=round(tput / 1e6, 2),
+                   efficiency_vs_linear=round(eff, 3))
+        if hw != n_proc:
+            row["efficiency_vs_hw_bound"] = round(tput / (t1 * hw), 3)
+        results.append(row)
         print(json.dumps(results[-1]))
-    _write_artifact(artifact, "multihost_scaling_efficiency", results,
-                    "efficiency_vs_linear")
+    # headline = the 2-process row (the >=0.80 @ 2 hosts BASELINE target);
+    # deeper rows stay in the table as the efficiency TREND
+    if artifact and results:
+        head = next((r for r in results if r["processes"] == 2),
+                    results[-1])
+        with open(artifact, "w") as f:
+            json.dump(dict(metric="multihost_scaling_efficiency",
+                           value=head["efficiency_vs_linear"],
+                           unit="efficiency_vs_linear", table=results), f,
+                      indent=1)
     return 0
 
 

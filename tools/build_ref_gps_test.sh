@@ -21,7 +21,7 @@ set -e
 OUT="${1:-/tmp/ref_gps_test}"
 REF="${2:-/root/reference}"
 SHIM="$(dirname "$0")/../tpu_gnss/native/fftw_shim"
-g++ -O2 -include cstdio -fdata-sections -Wl,--sort-section=name \
+g++ -O3 -fcx-limited-range -include cstdio -fdata-sections -Wl,--sort-section=name \
     -I"$REF/c" -I"$SHIM" \
     "$REF/c/test_search_offline.cpp" "$REF/c/search_offline.cpp" \
     "$SHIM/shim_fft.cpp" -lm -o "$OUT"

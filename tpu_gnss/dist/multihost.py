@@ -141,6 +141,39 @@ def acquire_folded_multihost(blocks_local: np.ndarray, cw_r, cw_i,
             np.asarray(g.ca_shift))
 
 
+def track_epochs_multihost(iq: np.ndarray, state_local, tables_local, *,
+                           mesh, axis: str = "chan", fs: float,
+                           pll_gains, dll_gains):
+    """Multi-host channel-parallel tracking; outputs gathered to all hosts.
+
+    The 12-FPGA-channel bank (reference: c/gps.h:17) sharded ACROSS
+    PROCESSES: each host feeds only its local slice of the channel state
+    and code tables (``state_local`` leaves ``[n_chan_local, ...]``),
+    the shared 1 ms sample stream is replicated (it is small — the
+    integrate-and-dump reduction has not happened yet but one chunk is
+    ~MB), and every host receives the full per-epoch output bank —
+    per-host output gathering, the DCN analog of the solver reading all
+    channels over SPI (reference: c/solve.cpp:62-85).
+    """
+    import jax
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    from .shard import track_epochs_sharded
+
+    rep = NamedSharding(mesh, P())
+    shard_ch = NamedSharding(mesh, P(axis))
+    iq_g = jax.make_array_from_process_local_data(rep, np.asarray(iq))
+    state_g = jax.tree.map(
+        lambda x: jax.make_array_from_process_local_data(
+            shard_ch, np.asarray(x)), state_local)
+    tables_g = jax.make_array_from_process_local_data(
+        shard_ch, np.asarray(tables_local))
+    st2, out = track_epochs_sharded(iq_g, state_g, tables_g, mesh=mesh,
+                                    axis=axis, fs=fs,
+                                    pll_gains=pll_gains,
+                                    dll_gains=dll_gains)
+    return gather_to_hosts(st2), gather_to_hosts(out)
+
+
 # ----------------------------------------------------------------------
 def _worker(argv=None) -> int:
     """Subprocess worker for the N-process simulation (tests + bench).
@@ -201,9 +234,42 @@ def _worker(argv=None) -> int:
                 lo_rate=cfg.lo_rate, lags=cfg.lags, dop_chunk=2)
         wall = (time.perf_counter() - t0) / args.bench_repeats
 
+    # --- multi-host channel-parallel TRACKING on a real multi-SV
+    # baseband: every process synthesizes the same deterministic scene,
+    # slices its local channels, and must gather the full locked bank
+    from ..track import channel as tc
+    from ..signal import synth
+    n_chan = 8
+    assert n_chan % args.num_processes == 0 and n_chan % n_total == 0
+    mesh_ch = global_mesh(("chan",), (n_total,))
+    p_len = round(cfg.fs * 1e-3)
+    n_epochs = 40
+    svs = [synth.SvSignal(prn=1 + 3 * ch,
+                          doppler_hz=500.0 * (ch % 5) - 1000.0,
+                          code_phase_chips=61.0 * ch % 1023.0)
+           for ch in range(n_chan)]
+    iq_scene = synth.synth_baseband(svs, cfg.fs, n_epochs * p_len,
+                                    noise_std=0.3, seed=5)
+    state = tc.init_state(n_chan)
+    for ch, sv in enumerate(svs):
+        state = tc.start_channel(state, ch, sv.doppler_hz,
+                                 sv.code_phase_chips)
+    tables = np.asarray(tc.channel_code_tables(
+        [sv.prn for sv in svs], n_chan))
+    per_ch = n_chan // args.num_processes
+    lo_ch = args.process_id * per_ch
+    state_local = jax.tree.map(
+        lambda x: np.asarray(x)[lo_ch: lo_ch + per_ch], state)
+    gains = (tc.second_order_gains(18.0), tc.second_order_gains(2.0))
+    _, track_out = track_epochs_multihost(
+        iq_scene, state_local, tables[lo_ch: lo_ch + per_ch],
+        mesh=mesh_ch, fs=cfg.fs, pll_gains=gains[0], dll_gains=gains[1])
+
     np.savez(args.out, snr=snr, lo_shift=lo_shift, ca_shift=ca_shift,
              wall=np.float64(wall if wall is not None else np.nan),
-             n_devices=np.int64(n_total))
+             n_devices=np.int64(n_total),
+             track_ip=np.asarray(track_out.ip),
+             track_code_dev=np.asarray(track_out.code_dev))
     print(f"[p{args.process_id}] wrote {args.out} "
           f"snr_shape={snr.shape} devices={n_total}", flush=True)
     return 0

@@ -33,8 +33,13 @@ struct Plan {
 // Recursive decimation-in-time: split n = p * m on the smallest prime p,
 // sub-transform the p interleaved sequences, then combine with twiddles.
 //   X[q + m*r] = sum_i w_n^{i*(q + m*r)} * Y_i[q]
+// Twiddle lookup uses modular index STEPPING ((kbase*i) % N accumulated
+// incrementally) instead of a long multiply+modulo per term — the same
+// twiddle values in the same summation order, so results stay
+// bit-identical to the straightforward form while the hot combine loop
+// runs several times faster.
 void fft_rec(cd *out, const cd *in, int n, int in_stride,
-             const std::vector<cd> &tw, int tw_stride) {
+             const std::vector<cd> &tw, long tw_stride) {
   if (n == 1) {
     out[0] = in[0];
     return;
@@ -45,15 +50,20 @@ void fft_rec(cd *out, const cd *in, int n, int in_stride,
   for (int i = 0; i < p; ++i)
     fft_rec(out + i * m, in + i * in_stride, m, in_stride * p,
             tw, tw_stride * p);
+  const long N = (long)tw.size();
   std::vector<cd> tmp(p);
   for (int q = 0; q < m; ++q) {
     for (int i = 0; i < p; ++i) tmp[i] = out[q + i * m];
     for (int r = 0; r < p; ++r) {
       // w_n^{i*(q + m*r)} indexed in the level-local twiddle stride
-      const long kbase = (long)(q + (long)m * r) * tw_stride;
+      const long kbase = ((long)(q + (long)m * r) * tw_stride) % N;
       cd acc(0.0, 0.0);
-      for (int i = 0; i < p; ++i)
-        acc += tw[(kbase * i) % ((long)tw.size())] * tmp[i];
+      long idx = 0;
+      for (int i = 0; i < p; ++i) {
+        acc += tw[idx] * tmp[i];
+        idx += kbase;
+        if (idx >= N) idx -= N;   // kbase < N: one subtraction reduces
+      }
       out[q + m * r] = acc;
     }
   }

@@ -135,7 +135,10 @@ def synth_baseband(svs: Sequence[SvSignal], fs: float, n_samples: int,
 def synth_from_sv_time(prn: int, t_sv: np.ndarray, nav_stream: np.ndarray,
                        t_stream_origin: float, fs: float,
                        amplitude: float = 1.0,
-                       carrier_l1: float = L1_HZ) -> np.ndarray:
+                       carrier_l1: float = L1_HZ,
+                       t_rx: np.ndarray = None,
+                       t_rx_ref: float = None,
+                       t_sv_ref: float = None) -> np.ndarray:
     """Synthesize one SV's complex baseband from its SV-clock timeline.
 
     The fully-consistent generator for end-to-end receiver tests: given
@@ -151,9 +154,20 @@ def synth_from_sv_time(prn: int, t_sv: np.ndarray, nav_stream: np.ndarray,
       t_stream_origin: SV time of nav_stream bit 0 (a subframe boundary).
       carrier_l1: carrier frequency used for the Doppler-consistent
         baseband phase ``exp(-j 2π L1 (t - t_sv))``.
+      t_rx / t_rx_ref / t_sv_ref: segmented synthesis support — pass the
+        segment's receiver-time axis and the GLOBAL phase references
+        (stream-start t_rx and t_sv) so per-segment calls are
+        bit-identical to one whole-stream call (bounded-memory scene
+        generation for long soaks).  Defaults reproduce the
+        whole-stream behavior (refs = first sample).
     """
     n = len(t_sv)
-    t_rx = np.arange(n, dtype=np.float64) / fs
+    if t_rx is None:
+        t_rx = np.arange(n, dtype=np.float64) / fs
+    if t_rx_ref is None:
+        t_rx_ref = t_rx[0]
+    if t_sv_ref is None:
+        t_sv_ref = t_sv[0]
     rel = t_sv - t_stream_origin
     chips_abs = rel * CHIP_RATE_HZ
     chip_idx = np.floor(chips_abs).astype(np.int64)
@@ -163,14 +177,20 @@ def synth_from_sv_time(prn: int, t_sv: np.ndarray, nav_stream: np.ndarray,
     data = 1.0 - 2.0 * np.asarray(nav_stream, np.float64)[bit_idx]
     # carrier: phase advances with the propagation delay (t - t_sv);
     # mod 1 keeps float64 fractional precision at L1 scale
-    cycles = -carrier_l1 * (t_rx - (t_sv - t_sv[0]) - t_rx[0])
+    cycles = -carrier_l1 * (t_rx - (t_sv - t_sv_ref) - t_rx_ref)
     cycles = cycles - np.floor(cycles)
     carrier = np.exp(2j * np.pi * cycles)
     return (amplitude * data * code * carrier).astype(np.complex64)
 
 
-def baseband_to_1bit_if(iq: np.ndarray, fc: float, fs: float) -> np.ndarray:
-    """Up-mix complex baseband to a real IF and hard-limit to {0,1} bits."""
-    n = np.arange(len(iq), dtype=np.float64)
+def baseband_to_1bit_if(iq: np.ndarray, fc: float, fs: float,
+                        n0: int = 0) -> np.ndarray:
+    """Up-mix complex baseband to a real IF and hard-limit to {0,1} bits.
+
+    ``n0``: global sample index of ``iq[0]`` — lets long captures be
+    converted in bounded-memory segments, bit-identical to one whole
+    call (the mix phase is an elementwise function of absolute index).
+    """
+    n = np.arange(n0, n0 + len(iq), dtype=np.float64)
     y = np.real(iq.astype(np.complex128) * np.exp(2j * np.pi * fc * n / fs))
     return (y < 0).astype(np.uint8)
