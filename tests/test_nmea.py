@@ -216,3 +216,18 @@ def test_sat_geometry_dops():
     assert 100.0 < az[2] < 145.0
     assert dops["pdop"] > dops["hdop"]
     assert dops["gdop"] > dops["pdop"]
+
+
+def test_live_flag_survives_headless(tmp_path):
+    """--live must not crash without a terminal (falls back cleanly)."""
+    import io
+    import contextlib
+    from tpu_gnss.cli.nmea import main
+
+    f = tmp_path / "t.nmea"
+    f.write_text(
+        "$GPGGA,120000.00,5257.000,N,00109.000,W,1,05,1.1,48.0,M,47.0,M,,"
+        "*7A\n")
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        main([str(f), "--live"])

@@ -83,3 +83,21 @@ def test_plan_prints_hackrf_invocation(capsys):
     playback.main(["plan", "x.bin", "--profile", "wav"])
     text = capsys.readouterr().out
     assert "hackrf_transfer -s 2800000 -f 1574800000" in text
+
+
+def test_plan_emits_grc_flowgraph(tmp_path, capsys):
+    """--grc writes a loadable GRC 3.8 YAML with the reference TX chain."""
+    from tpu_gnss.cli.playback import main
+    out = tmp_path / "tx.grc"
+    main(["plan", "tx.bin", "--profile", "nottingham",
+          "--grc", str(out)])
+    import yaml
+    d = yaml.safe_load(out.read_text())
+    names = {b["name"]: b for b in d["blocks"]}
+    # the reference chain: file_source -> deinterleave -> 2x c2f -> f2c
+    # -> osmosdr sink (gps_Nottingham.grc parameters)
+    assert names["src"]["id"] == "blocks_file_source"
+    assert names["sink"]["id"] == "osmosdr_sink"
+    assert names["sink"]["parameters"]["center_freq0"] == "1575420000"
+    assert names["samp_rate"]["parameters"]["value"] == "5456000"
+    assert len(d["connections"]) == 6

@@ -267,6 +267,41 @@ def compare_tracks(nmea_fixes, solutions) -> dict:
                 d_total_m=float(np.hypot(d_lat, d_lon)))
 
 
+def live_monitor(source, st: "NmeaState") -> int:
+    """Full-screen continuously-redrawing curses dashboard.
+
+    The reference's operator ergonomics: its 18 plot_nmea* scripts are
+    curses apps redrawing a satellite table + fix panel on every
+    sentence (reference: python/plot_nmea8-ttyACM0-GPS.py:222-283).
+    One consolidated monitor here; 'q' quits.
+    """
+    import curses
+
+    def _run(scr):
+        curses.use_default_colors()
+        scr.nodelay(True)
+        n = 0
+        for line in read_sentences(source):
+            if not st.feed(line):
+                continue
+            n += 1
+            scr.erase()
+            rows, cols = scr.getmaxyx()
+            head = f"-- nmea live monitor -- sentences: {n}  (q quits)"
+            lines = [head, ""] + st.summary().splitlines()
+            for i, ln in enumerate(lines[: rows - 1]):
+                try:
+                    scr.addstr(i, 0, ln[: cols - 1])
+                except curses.error:
+                    pass
+            scr.refresh()
+            if scr.getch() in (ord("q"), ord("Q")):
+                return
+    curses.wrapper(_run)
+    print(st.summary())
+    return 0
+
+
 def main(argv=None) -> int:
     import argparse
     p = argparse.ArgumentParser(
@@ -274,6 +309,10 @@ def main(argv=None) -> int:
         description="NMEA stream monitor / track comparison "
                     "(replaces the reference's plot_nmea* scripts)")
     p.add_argument("source", help="NMEA file, '-' for stdin, or /dev/tty*")
+    p.add_argument("--live", action="store_true",
+                   help="full-screen curses dashboard redrawn per "
+                        "sentence (the reference plot_nmea* style); "
+                        "falls back to periodic printing off-terminal")
     p.add_argument("--every", type=int, default=20,
                    help="print a dashboard every N sentences")
     p.add_argument("--compare", metavar="OTHER.nmea", default=None,
@@ -301,6 +340,12 @@ def main(argv=None) -> int:
 
     st = NmeaState()
     src = sys.stdin if args.source == "-" else args.source
+    if args.live:
+        try:
+            return live_monitor(src, st)
+        except Exception as e:   # no terminal (CI, pipe): periodic mode
+            print(f"# live mode unavailable ({e}); periodic fallback",
+                  file=sys.stderr)
     n = 0
     for line in read_sentences(src):
         if st.feed(line):

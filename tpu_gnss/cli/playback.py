@@ -58,7 +58,74 @@ def plan(args) -> int:
     print(f"#   center_freq = {freq:g}")
     print("#   rf_gain = 10, if_gain = 20, bb_gain = 20, bandwidth = 2e6")
     print("#   source: interleaved int8 I/Q, repeat = True")
+    if args.grc:
+        with open(args.grc, "w") as f:
+            f.write(emit_grc(args.tx_file, fs, freq))
+        print(f"# flowgraph written: {args.grc} (GRC 3.8+ YAML; open in "
+              "gnuradio-companion or run via grcc)")
     return 0
+
+
+def emit_grc(tx_file: str, fs: float, freq: float) -> str:
+    """Emit a GNU Radio Companion 3.8+ flowgraph for the TX chain.
+
+    Reproduces the reference's replay chain (gps.grc: file_source(int8,
+    repeat) -> deinterleave -> 2x char_to_float -> float_to_complex ->
+    osmosdr/HackRF sink; SURVEY §2.3) as a freshly-generated modern YAML
+    flowgraph — parameters match the reference's published sink settings.
+    """
+    def block(name, bid, params, coord):
+        ps = "\n".join(f"    {k}: '{v}'" for k, v in params.items())
+        return (f"- name: {name}\n  id: {bid}\n  parameters:\n{ps}\n"
+                "  states:\n    bus_sink: false\n    bus_source: false\n"
+                f"    bus_structure: null\n    coordinate: [{coord}, 100]\n"
+                "    rotation: 0\n    state: enabled\n")
+
+    blocks = [
+        block("samp_rate", "variable", dict(value=int(fs)), 8),
+        block("src", "blocks_file_source",
+              dict(file=tx_file, type="byte", repeat="True", vlen=1,
+                   begin_tag="pmt.PMT_NIL", offset=0, length=0), 200),
+        block("deint", "blocks_deinterleave",
+              dict(type="byte", num_streams=2, blocksize=1), 400),
+        block("c2f_i", "blocks_char_to_float",
+              dict(scale=1, vlen=1), 600),
+        block("c2f_q", "blocks_char_to_float",
+              dict(scale=1, vlen=1), 600),
+        block("f2c", "blocks_float_to_complex", dict(vlen=1), 800),
+        block("sink", "osmosdr_sink",
+              dict(args='"hackrf=0"', sample_rate="samp_rate",
+                   center_freq0=int(freq), freq_corr0=0, gain0=10,
+                   if_gain0=20, bb_gain0=20, bw0="2e6", num_mboards=1,
+                   num_channels=1, sync="sync", clock_source0="''",
+                   time_source0="''", ant0="''"), 1000),
+    ]
+    conns = [
+        "- [src, '0', deint, '0']",
+        "- [deint, '0', c2f_i, '0']",
+        "- [deint, '1', c2f_q, '0']",
+        "- [c2f_i, '0', f2c, '0']",
+        "- [c2f_q, '0', f2c, '1']",
+        "- [f2c, '0', sink, '0']",
+    ]
+    return (
+        "options:\n  parameters:\n    author: tpu_gnss\n"
+        "    category: '[GRC Hier Blocks]'\n    cmake_opt: ''\n"
+        "    comment: GPS replay TX (reference gps.grc equivalent)\n"
+        "    copyright: ''\n    description: ''\n"
+        "    gen_cmake: 'On'\n    gen_linking: dynamic\n"
+        "    generate_options: no_gui\n    hier_block_src_path: '.:'\n"
+        "    id: gps_replay_tx\n    max_nouts: '0'\n"
+        "    output_language: python\n    placement: (0,0)\n"
+        "    qt_qss_theme: ''\n    realtime_scheduling: ''\n"
+        "    run: 'True'\n    run_command: '{python} -u {filename}'\n"
+        "    run_options: run\n    sizing_mode: fixed\n"
+        "    thread_safe_setters: ''\n    title: GPS replay\n"
+        "    window_size: ''\n  states:\n    bus_sink: false\n"
+        "    bus_source: false\n    bus_structure: null\n"
+        "    coordinate: [8, 8]\n    rotation: 0\n    state: enabled\n\n"
+        "blocks:\n" + "".join(blocks) + "\nconnections:\n"
+        + "\n".join(conns) + "\n\nmetadata:\n  file_format: 1\n")
 
 
 def loopback(args) -> int:
@@ -116,6 +183,9 @@ def build_parser() -> argparse.ArgumentParser:
     pp.add_argument("--profile", choices=sorted(PROFILES), default="synthetic")
     pp.add_argument("--fs", type=float, help="override TX sample rate")
     pp.add_argument("--freq", type=float, help="override RF center freq")
+    pp.add_argument("--grc", metavar="OUT.grc", default=None,
+                    help="also write a GNU Radio Companion 3.8+ "
+                         "flowgraph reproducing the reference TX chain")
     pp.set_defaults(fn=plan)
 
     lp = sub.add_parser("loopback",
