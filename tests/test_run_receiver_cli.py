@@ -53,3 +53,38 @@ def test_preset_flag_parses(tmp_path, capsys):
                             "--preset", "synthetic"])
     assert rc == 2   # clean missing-file error, not a crash
     assert "not found" in capsys.readouterr().err
+
+
+@pytest.mark.slow
+def test_run_receiver_cli_follow(tmp_path, capsys):
+    """--follow wiring: tail a file another thread is writing, finish on
+    the .done sidecar, report the follow summary."""
+    import threading
+    import time
+
+    iq, ephs, rx = build_scene(duration=4.0)
+    fc = FS / 4
+    payload = loaders.pack_1bit(baseband_to_1bit_if(iq, fc, FS))
+    cap = tmp_path / "live.bin"
+    cap.write_bytes(b"")
+
+    def writer():
+        step = len(payload) // 8
+        with open(cap, "ab") as f:
+            for i in range(0, len(payload), step):
+                f.write(payload[i: i + step])
+                f.flush()
+                time.sleep(0.01)
+        (tmp_path / "live.bin.done").touch()
+
+    t = threading.Thread(target=writer)
+    t.start()
+    rc = run_receiver.main([
+        str(cap), str(fc), str(FS), "5000",
+        "--fft-len", "4096", "--threshold", "17",
+        "--follow", "--stall-timeout", "30"])
+    t.join()
+    out = capsys.readouterr().out
+    assert rc == 0
+    assert "follow ended: end of stream" in out
+    assert "acquired" in out
