@@ -52,6 +52,38 @@ def period_replicas_np(fs: float, prns: tuple[int, ...]) -> np.ndarray:
     return cacode.resample(chips, fs, p)
 
 
+@functools.partial(jax.jit, static_argnames=("nf",))
+def _fft_replicas(replicas: jnp.ndarray, nf: int) -> jnp.ndarray:
+    return jnp.fft.fft(replicas.astype(jnp.complex64), n=nf, axis=-1)
+
+
+@functools.lru_cache(maxsize=8)
+def _mxu_code_planes_device(fs: float, prns: tuple, nf: int, period: int):
+    """Device-resident bf16 code planes for the fused kernel, shared
+    across searcher instances (same rationale as _code_ffts_device)."""
+    from ..ops.mxu_corr import fold_code_planes_T
+    reps = period_replicas_np(fs, tuple(prns))
+    spec = np.fft.fft(reps, n=nf, axis=-1)
+    cr, ci = fold_code_planes_T(spec, period)
+    out = (jnp.asarray(cr), jnp.asarray(ci))
+    out[0].block_until_ready()
+    return out
+
+
+@functools.lru_cache(maxsize=8)
+def _code_ffts_device(fs: float, prns: tuple, nf: int):
+    """Device-resident replica spectra, shared across searcher instances.
+
+    A fresh Receiver/FoldedSearcher per run must not pay the replica
+    upload + FFT again (it was ~0.3 s of every cold-ish start on the
+    tunneled chip); the spectra depend only on (fs, prns, nf).
+    """
+    replicas = jnp.asarray(period_replicas_np(fs, tuple(prns)))
+    out = _fft_replicas(replicas, nf)
+    out.block_until_ready()
+    return out
+
+
 def _smooth_2_5(n: int) -> bool:
     """True if n factors into 2s and 5s only (native-radix-fast FFT)."""
     for f in (2, 5):
@@ -524,10 +556,8 @@ class FoldedSearcher:
         self.period = int(cfg.fs / 1000)
         self.block_len = self.period * n_coherent
         self.nf = fft_len_for_period(self.period)
-        replicas = jnp.asarray(period_replicas_np(cfg.fs, cfg.prns))
-        nf = self.nf
-        self.code_ffts_p = jax.jit(
-            lambda r: jnp.fft.fft(r.astype(jnp.complex64), n=nf, axis=-1))(replicas)
+        self.code_ffts_p = _code_ffts_device(cfg.fs, tuple(cfg.prns),
+                                             self.nf)
         self.dops_hz = jnp.asarray(doppler_grid_hz(cfg, dop_spacing_hz))
         self.dop_chunk = min(dop_chunk, len(self.dops_hz))
 
@@ -612,11 +642,8 @@ class FoldedSearcher:
         boundary on some backends).
         """
         if not hasattr(self, "_cw_planes"):
-            from ..ops.mxu_corr import fold_code_planes_T
-            reps = period_replicas_np(self.cfg.fs, self.cfg.prns)
-            spec = np.fft.fft(reps, n=self.nf, axis=-1)
-            cr, ci = fold_code_planes_T(spec, self.period)
-            self._cw_planes = (jnp.asarray(cr), jnp.asarray(ci))
+            self._cw_planes = _mxu_code_planes_device(
+                self.cfg.fs, tuple(self.cfg.prns), self.nf, self.period)
         return self._cw_planes
 
     def acquire(self, bits=None, iq=None, n_noncoherent: int = 1,

@@ -656,16 +656,10 @@ class Receiver:
         float64 (exact for any capture length; an int32 sample counter
         on device would overflow past 2^31 samples).
         """
-        if not hasattr(self, "_mix_fn"):
-            import jax
-            from .acquire.search import mix_baseband
-            lo_rate = self.cfg.lo_rate
-            self._mix_fn = jax.jit(
-                lambda b, p0: mix_baseband(b, lo_rate,
-                                           phase0_quarters=p0))
         import jax.numpy as jnp
         p0 = float((sample0 * float(self.cfg.lo_rate)) % 4.0)
-        return self._mix_fn(bits_dev, jnp.float32(p0))
+        return _mix_bits_jit(bits_dev, jnp.float32(p0),
+                             lo_rate=float(self.cfg.lo_rate))
 
     # ------------------------------------------------------------------
     def _mix_chunk_packed(self, words: np.ndarray, sample0: int):
@@ -869,6 +863,24 @@ class Receiver:
             except np.linalg.LinAlgError:
                 pass
         return sol
+
+
+def _mix_bits_jit(bits_dev, p0, *, lo_rate: float):
+    """Module-level jitted quadrature mix (shared across Receiver
+    instances — a per-instance lambda would re-trace every run)."""
+    global _MIX_JIT
+    try:
+        fn = _MIX_JIT
+    except NameError:
+        import functools
+        import jax
+        from .acquire.search import mix_baseband
+
+        @functools.partial(jax.jit, static_argnames=("lo_rate",))
+        def fn(b, p, *, lo_rate):
+            return mix_baseband(b, lo_rate, phase0_quarters=p)
+        _MIX_JIT = fn
+    return fn(bits_dev, p0, lo_rate=lo_rate)
 
 
 _PACK_FN = None
