@@ -457,3 +457,30 @@ def test_receiver_int4_uplink_tracks_like_int8(tmp_path, rng):
         # same sign pattern (NAV bits identical), amplitudes within a few %
         rel = np.linalg.norm(ia - ib) / np.linalg.norm(ib)
         assert rel < 0.05, f"int4 path diverged: rel={rel:.3f}"
+
+
+def test_follow_source_reads_fifo(tmp_path):
+    """The live source also drains a named pipe (rtl_sdr | converter |
+    receiver style plumbing): blocking reads as flow control, clean EOF
+    on writer close."""
+    import os
+    import threading
+
+    fifo = tmp_path / "pipe.bin"
+    os.mkfifo(fifo)
+    bits = np.random.default_rng(3).integers(0, 2, 4096 * 4).astype(np.uint8)
+    payload = loaders.pack_1bit(bits)
+
+    def writer():
+        with open(fifo, "wb") as f:
+            for i in range(0, len(payload), 128):
+                f.write(payload[i: i + 128])
+
+    t = threading.Thread(target=writer)
+    t.start()
+    src = stream.FollowSource1Bit(str(fifo), SMALL)
+    got = list(src.bit_blocks(4096))
+    t.join()
+    assert len(got) == 4
+    np.testing.assert_array_equal(np.concatenate(got), bits)
+    assert not src.stalled

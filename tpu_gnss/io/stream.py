@@ -248,8 +248,12 @@ class _FollowReader:
 
     def chunks(self, nbytes: int) -> Iterator[bytes]:
         import os
+        import stat
         import time
 
+        if stat.S_ISFIFO(os.stat(self.path).st_mode):
+            yield from self._fifo_chunks(nbytes)
+            return
         with open(self.path, "rb") as f:
             waited = 0.0
             while True:
@@ -281,6 +285,27 @@ class _FollowReader:
                 self.waits += 1
                 time.sleep(self.poll_s)
                 waited += self.poll_s
+
+    def _fifo_chunks(self, nbytes: int) -> Iterator[bytes]:
+        """Named-pipe variant: blocking reads ARE the flow control.
+
+        A FIFO has no growing st_size to poll — the OS blocks the read
+        until the writer produces data (the sample-upload backpressure
+        the reference gets from its SPI BUSY flag, c/spi.cpp:34-53).
+        Writer closing the pipe -> short read -> clean end-of-stream;
+        fall-behind cannot happen (the pipe buffer bounds the writer).
+        """
+        buf = bytearray()
+        with open(self.path, "rb") as f:
+            while True:
+                got = f.read(nbytes - len(buf))
+                if not got:          # writer closed: end of stream
+                    return           # (partial tail < one chunk dropped)
+                buf.extend(got)
+                if len(buf) == nbytes:
+                    self.pos += nbytes
+                    yield bytes(buf)
+                    buf.clear()
 
 
 class FollowSource1Bit(FileSource1Bit):
