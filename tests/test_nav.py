@@ -173,3 +173,42 @@ def test_eccentric_anomaly_invalid_ephemeris_raises():
         Ephemeris().get_xyz(0.0)
     with pytest.raises(ValueError, match="Kepler"):
         Ephemeris().clock_correction(float("nan"))
+
+
+def test_period_grid_bit_sync_immune_to_code_creep():
+    """Drift-immunity regression (the 300 s soak bug): with Doppler code
+    creep walking the epoch grid across the code-period grid, an
+    epoch-indexed bit offset silently shifts by one period mid-stream
+    (a +-1 ms / +-300 km transmit-time error); the period-indexed grid
+    (bit_sync_periods / bits_from_prompt_periods) must decode the same
+    bits AND the same exact edge chip counts throughout."""
+    rng = np.random.default_rng(7)
+    n_ep = 8000                       # 8 s of epochs
+    creep = 9e-4                      # chips/chip: ~0.9 chips/ms -> walks
+                                      # ~7 periods across the stream
+    r_true = 7                        # bit edges at periods r_true + 20k
+    phase0 = 300.0                    # chips at epoch 0
+    # tracked chip integral: nominal 1023/epoch plus creep
+    chips = phase0 + np.arange(n_ep) * (1023.0 * (1.0 + creep))
+    periods = np.round(chips / 1023.0).astype(np.int64)
+    true_bits = rng.integers(0, 2, 600).astype(np.uint8)
+    # prompt sign per epoch from the PERIOD-grid truth
+    b_of_e = (periods - r_true) // 20
+    b_of_e -= b_of_e.min()
+    ip = (1.0 - 2.0 * true_bits[np.clip(b_of_e, 0, len(true_bits) - 1)]
+          ) * 1000.0
+
+    r_est = nb.bit_sync_periods(ip, periods)
+    assert r_est == r_true % 20
+    got, b_raw0 = nb.bits_from_prompt_periods(ip, periods, r_est)
+    # decoded bits must match the truth with NO mid-stream slip
+    first_truth = (periods[0] - r_true) // 20 - b_of_e.min() + (
+        b_raw0 - (periods[0] - r_est) // 20)
+    span = min(len(got), 500)
+    # align: bits[i] corresponds to raw bit b_raw0 + i on the period grid
+    want = true_bits[(np.arange(span) + b_raw0
+                      - ((periods[0] - r_true) // 20 - b_of_e.min()))]
+    assert np.array_equal(got[:span], want), "bit slip across code creep"
+    # edge chip counts are exact period multiples on the 20-grid
+    edges = (r_est + 20 * (b_raw0 + np.arange(span))) * 1023.0
+    assert np.all(np.abs(edges / 1023.0 % 20 - r_est % 20) < 1e-9)

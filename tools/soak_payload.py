@@ -28,10 +28,8 @@ print("alive:", np.asarray(jnp.arange(2) + 1),
       f"({time.perf_counter()-_t0:.1f}s)", flush=True)
 
 from tpu_gnss.config import ReceiverConfig
-from tpu_gnss.io import loaders
 from tpu_gnss.io.stream import FileSource1Bit
 from tpu_gnss.receiver import Receiver
-from tpu_gnss.signal.synth import baseband_to_1bit_if
 from tpu_gnss.utils import metrics
 import tests.test_e2e as E
 
@@ -44,18 +42,17 @@ fc = E.FS / 4
 path = os.path.join(tempfile.gettempdir(), f"soak_1bit_{int(DURATION)}.bin")
 rx_path = path + ".rx.npy"
 if not (os.path.exists(path) and os.path.exists(rx_path)):
-    iq, ephs, rx = E.build_scene(duration=DURATION,
-                                 dropout=(DROP_SV, DROP_T0, DROP_T1))
-    # segment the IF conversion + packing: bounded float64/complex128
-    # temporaries (the scene synthesis itself is already segmented) so
-    # the soak's peak RSS measures the RECEIVER, not fixture generation
-    seg = int(4.0 * E.FS) & ~7
-    with open(path, "wb") as f:
-        for s0 in range(0, len(iq), seg):
-            bits = baseband_to_1bit_if(iq[s0: s0 + seg], fc, E.FS, n0=s0)
-            f.write(loaders.pack_1bit(bits))
-    np.save(rx_path, np.asarray(rx))
-    del iq
+    # fixture generation runs in a SUBPROCESS so this process's peak
+    # RSS (the artifact) measures the RECEIVER, not scene synthesis
+    import subprocess
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    gen = subprocess.run(
+        [sys.executable, "-u", os.path.join(repo, "tools",
+                                            "soak_scene_gen.py"),
+         path, str(DURATION), str(DROP_SV), str(DROP_T0), str(DROP_T1)],
+        capture_output=True, text=True)
+    assert gen.returncode == 0, gen.stderr[-2000:]
+    print(gen.stdout.strip(), flush=True)
 rx = np.load(rx_path)
 rss_synth_mb = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1024.0
 print(f"scene synth + 1-bit pack: {time.perf_counter()-t0:.1f}s "

@@ -143,3 +143,57 @@ def bits_from_prompt(prompt_ip: np.ndarray, offset: int) -> np.ndarray:
     n_bits = len(ip) // CODES_PER_BIT
     acc = ip[: n_bits * CODES_PER_BIT].reshape(n_bits, CODES_PER_BIT).sum(1)
     return (acc < 0).astype(np.uint8)
+
+
+# ---------------------------------------------------------------------------
+# Code-period-indexed bit grid (drift-immune, for transmit-time anchors)
+# ---------------------------------------------------------------------------
+
+def bit_sync_periods(prompt_ip: np.ndarray, periods: np.ndarray) -> int:
+    """Bit-grid phase on the CODE-PERIOD grid: r in [0, 20).
+
+    ``periods[e] = round(chips[e]/1023)`` — the tracked code-period
+    index each 1 ms epoch samples.  Binning sign transitions by
+    ``periods mod 20`` instead of ``epoch mod 20`` ties the NAV bit grid
+    to the transmitted signal's own period clock: code creep (Doppler)
+    slides the epoch grid through the period grid by a full ms over
+    minutes, which silently shifts an epoch-based offset by one — a
+    whole-code-period (±300 km) transmit-time error — while the
+    period-based phase is invariant.  Bit edges sit at periods
+    ``r + 20k`` exactly.
+    """
+    ip = np.asarray(prompt_ip)
+    s = np.sign(ip)
+    flips = np.nonzero(s[1:] * s[:-1] < 0)[0] + 1
+    if len(flips) == 0:
+        return 0
+    hist = np.bincount(np.asarray(periods)[flips] % CODES_PER_BIT,
+                       minlength=CODES_PER_BIT)
+    return int(hist.argmax())
+
+
+def bits_from_prompt_periods(prompt_ip: np.ndarray, periods: np.ndarray,
+                             r: int):
+    """Per-bit integration on the period grid.
+
+    Returns ``(bits, b_raw0)``: ``bits[i]`` is the {0,1} NAV bit whose
+    FIRST code period has absolute period index
+    ``r + 20*(b_raw0 + i)`` — i.e., whose first chip is
+    ``(r + 20*(b_raw0 + i)) * 1023`` on the channel's chip-integral
+    scale (the unambiguous transmit-time anchor).  The leading partial
+    bit is dropped.
+    """
+    ip = np.asarray(prompt_ip)
+    b_raw = (np.asarray(periods, dtype=np.int64) - r) // CODES_PER_BIT
+    b0 = int(b_raw[0])
+    # drop the (possibly partial) leading bit
+    first_full = b0 + 1 if np.any(b_raw == b0) and (
+        (periods[0] - r) % CODES_PER_BIT != 0) else b0
+    n_bits = int(b_raw[-1]) - first_full  # last bit may be partial: drop
+    if n_bits <= 0:
+        return np.zeros(0, np.uint8), first_full
+    acc = np.zeros(n_bits, np.float64)
+    idx = b_raw - first_full
+    ok = (idx >= 0) & (idx < n_bits)
+    np.add.at(acc, idx[ok], ip[ok])
+    return (acc < 0).astype(np.uint8), first_full

@@ -726,21 +726,33 @@ class Receiver:
         r.last_tow = None
         qp = r.qp_hist
         r.cn0_dbhz = cn0_nwpr(ip[-2000:], qp[-2000:])
-        # bit sync on the post-pull-in stream, but bit indices must stay
-        # aligned to epoch 0 for transmit-time bookkeeping
+        # Bit sync on the post-pull-in stream, on the CODE-PERIOD grid:
+        # the NAV bit grid is tied to the tracked chip integral's period
+        # index, so every subframe anchor carries an exact edge chip
+        # count (a_edge) — immune to the epoch-grid creep that made
+        # epoch-based bit offsets slip by a whole period over minutes
+        # (see nav/bits.bit_sync_periods).
         skip = 600
         skip -= skip % CODES_PER_BIT
-        off = nav_bits.bit_sync(ip[skip:])
-        r.bit_offset = off
-        bits = nav_bits.bits_from_prompt(ip[skip:], off)
+        chips = r.unwrapped_chips(self.cfg.fs)
+        periods = np.round(np.asarray(chips) / CODE_LEN_CHIPS
+                           ).astype(np.int64)
+        ip_s, per_s = ip[skip:], periods[skip:]
+        rph = nav_bits.bit_sync_periods(ip_s, per_s)
+        r.bit_offset = rph
+        bits, b_raw0 = nav_bits.bits_from_prompt_periods(ip_s, per_s, rph)
         r.bits = bits
         frames = nav_bits.frame_sync(bits)
         for f in frames:
             sid = r.eph.ingest(f["data"])
-            # absolute epoch at which this subframe's first bit begins
-            bit_epoch = skip + off + f["start"] * CODES_PER_BIT
+            # the subframe's first bit starts at this absolute period
+            # index -> exact chip count on the channel's integral scale
+            start_period = rph + CODES_PER_BIT * (b_raw0 + f["start"])
+            a_edge = float(start_period) * CODE_LEN_CHIPS
+            # receiver epoch where that bit begins (snapshot gating)
+            bit_epoch = skip + int(np.searchsorted(per_s, start_period))
             r.subframes.append(dict(sid=sid, tow=r.eph.tow,
-                                    bit_epoch=bit_epoch))
+                                    bit_epoch=bit_epoch, a_edge=a_edge))
             r.last_subframe_bit = bit_epoch
             r.last_tow = r.eph.tow
 
@@ -803,23 +815,13 @@ class Receiver:
                     continue
                 if cn0 == cn0 and cn0 < self.cn0_gate_dbhz:
                     continue
-            # anchor on the LATEST decoded subframe preceding this
-            # snapshot (subframes arrive every 6 s; anchoring on the
-            # capture's final subframe would skip every earlier snapshot)
             anchors = [s for s in r.subframes
                        if s["tow"] is not None and s["bit_epoch"] < e_local]
             if not anchors:
                 continue
-            sub = max(anchors, key=lambda s: s["bit_epoch"])
             chips = r.unwrapped_chips(self.cfg.fs)
             a_snap = self._carrier_smoothed_chips(r, chips, e_local)
-            # chip count at the subframe-start bit edge: nearest code-period
-            # boundary on the 20-period bit grid
-            a_bit = chips[sub["bit_epoch"]]
-            n_per = round(a_bit / CODE_LEN_CHIPS)
-            # TOW names the start of the NEXT subframe -> this one is tow-1
-            t0 = (sub["tow"] - 1) * 6.0
-            t = t0 + (a_snap - n_per * CODE_LEN_CHIPS) / CHIP_RATE_HZ
+            t = _transmit_time(anchors, a_snap)
             t_tx.append(t)
             ephs.append(r.eph)
             if self.quality_gate:
@@ -863,6 +865,35 @@ class Receiver:
             except np.linalg.LinAlgError:
                 pass
         return sol
+
+
+def _transmit_time(anchors, a_snap: float) -> float:
+    """Anchor-voted transmit time (SV seconds of week) at the snapshot.
+
+    Each decoded subframe is an independent anchor: its TOW names an
+    absolute transmit time, and the chip count at its first bit edge is
+    (nearly) a whole number of code periods, so
+    ``t = (tow-1)*6 + (a_snap - n_per*1023)/chip_rate``
+    (reference transmit-time arithmetic, c/solve.cpp:118-133).
+
+    Each anchor carries its exact edge chip count ``a_edge`` from the
+    period-grid bit sync (nav/bits.bit_sync_periods) — no per-anchor
+    rounding, so all anchors of a channel agree by construction.  The
+    1 ms cluster vote is kept as a safety net (a bit-sync phase change
+    between decode passes, an anchor decoded from a corrupted stretch),
+    and the median inside the winning cluster averages per-anchor chip
+    noise.  (The naive form — rounding the chip integral at the
+    DETECTED EPOCH to a whole period — slipped by one period when code
+    creep walked the epoch grid across the period grid: a ±300 km
+    pseudorange error that only minutes-long soaks exposed.)
+    """
+    cands = np.array(
+        [(s["tow"] - 1) * 6.0 + (a_snap - s["a_edge"]) / CHIP_RATE_HZ
+         for s in anchors])
+    ref = np.round((cands - cands[0]) / 1e-3)
+    vals, counts = np.unique(ref, return_counts=True)
+    pick = vals[np.argmax(counts)]
+    return float(np.median(cands[ref == pick]))
 
 
 def _mix_bits_jit(bits_dev, p0, *, lo_rate: float):
