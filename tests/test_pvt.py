@@ -271,3 +271,48 @@ def test_sv_velocity_matches_position_derivative():
     v_ref = c7 @ p
     assert np.linalg.norm(v - v_ref) < 1e-4
     assert 2000.0 < np.linalg.norm(v) < 5000.0  # GPS orbital speed range
+
+
+def test_raim_excludes_slipped_channel():
+    """A channel with a whole-code-period pseudorange slip (~300 km) is
+    detected and excluded; the fix recovers to meters."""
+    ephs = make_constellation(6)
+    rx = ps.geodetic_to_ecef(52.95, -1.15, 48.0)
+    t_tx = gen_measurements(ephs, rx, T_RX)
+    t_tx[2] += 1e-3                      # one code period late
+
+    plain = ps.solve_position(t_tx, ephs)
+    assert plain.converged
+    assert plain.residual_rms_m > 1e3, "premise: slip must blow residuals"
+
+    sol, excl = ps.solve_position_raim(t_tx, ephs)
+    assert sol is not None and excl == 2
+    err = np.linalg.norm(np.array([sol.x, sol.y, sol.z]) - rx)
+    assert err < 10.0, f"post-exclusion error {err:.1f} m"
+
+
+def test_raim_passthrough_when_consistent():
+    """Clean measurements: no exclusion, same solution as plain solve."""
+    ephs = make_constellation(5)
+    rx = ps.geodetic_to_ecef(52.95, -1.15, 48.0)
+    t_tx = gen_measurements(ephs, rx, T_RX)
+    sol, excl = ps.solve_position_raim(t_tx, ephs)
+    assert excl is None
+    want = ps.solve_position(t_tx, ephs)
+    assert abs(sol.x - want.x) < 1e-6
+
+
+def test_raim_refuses_unresolvable():
+    """TWO slipped channels of six: no single exclusion restores
+    consistency -> no fix at all (refusing to report a wrong position
+    is the integrity contract).  NB with exactly 4 channels the solve
+    is exactly determined (zero redundancy), so residual-based
+    detection is impossible — the textbook RAIM bound (detection needs
+    >=5, exclusion >=6)."""
+    ephs = make_constellation(6)
+    rx = ps.geodetic_to_ecef(52.95, -1.15, 48.0)
+    t_tx = gen_measurements(ephs, rx, T_RX)
+    t_tx[1] += 1e-3
+    t_tx[4] -= 1e-3
+    sol, excl = ps.solve_position_raim(t_tx, ephs)
+    assert sol is None and excl is None

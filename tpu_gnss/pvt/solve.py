@@ -116,6 +116,46 @@ def solve_position(t_tx: np.ndarray, ephs: Sequence[Ephemeris],
                        iono_m=iono_m)
 
 
+def solve_position_raim(t_tx: np.ndarray, ephs: Sequence[Ephemeris],
+                        weights: Optional[np.ndarray] = None,
+                        apply_iono: bool = False,
+                        residual_gate_m: float = 500.0):
+    """Position solve with integrity: fault detection and exclusion.
+
+    RAIM-style receiver autonomy the reference lacks (its solver only
+    checks step convergence, c/solve.cpp:255-265): a converged solution
+    whose weighted post-fit residual RMS exceeds ``residual_gate_m`` is
+    inconsistent — one channel's pseudorange is wrong (a code-period
+    slip is ~300 km).  With >=5 channels, each channel is dropped in
+    turn and the subset with the smallest residual wins if it passes
+    the gate.  Returns ``(solution | None, excluded_index | None)``:
+    None solution means NO consistent subset exists — refusing to
+    report a wrong position is the integrity contract.
+    """
+    t_tx = np.asarray(t_tx, np.float64)
+    sol = solve_position(t_tx, ephs, weights, apply_iono=apply_iono)
+    if not sol.converged:
+        return None, None
+    rms = sol.residual_rms_m
+    if rms is None or rms <= residual_gate_m:
+        return sol, None
+    if len(t_tx) < 5:
+        return None, None
+    w = None if weights is None else np.asarray(weights, np.float64)
+    best = None
+    for i in range(len(t_tx)):
+        keep = [j for j in range(len(t_tx)) if j != i]
+        s2 = solve_position(t_tx[keep], [ephs[j] for j in keep],
+                            None if w is None else w[keep],
+                            apply_iono=apply_iono)
+        if (s2.converged and s2.residual_rms_m is not None
+                and (best is None or s2.residual_rms_m < best[0])):
+            best = (s2.residual_rms_m, i, s2)
+    if best is not None and best[0] <= residual_gate_m:
+        return best[2], best[1]
+    return None, None
+
+
 def _solve_once(t_tx, ephs, weights, x0, iono_m) -> Solution:
     n = len(t_tx)
     if n < 4:

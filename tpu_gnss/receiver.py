@@ -173,7 +173,8 @@ class Receiver:
                  transfer_dtype: str = "int8",
                  quality_gate: bool = True,
                  cn0_gate_dbhz: float = 25.0,
-                 lock_gate: float = 0.45):
+                 lock_gate: float = 0.45,
+                 raim_residual_m: float = 500.0):
         self.cfg = cfg
         self.searcher = FoldedSearcher(cfg, n_coherent=n_coherent)
         t_s = epochs_per_step * 1e-3
@@ -213,6 +214,9 @@ class Receiver:
         self.quality_gate = quality_gate
         self.cn0_gate_dbhz = cn0_gate_dbhz
         self.lock_gate = lock_gate
+        # fix integrity: weighted post-fit residual RMS gate + RAIM
+        # fault exclusion (pvt.solve_position_raim)
+        self.raim_residual_m = raim_residual_m
 
     # ------------------------------------------------------------------
     def _cold_detections(self, head, bits: bool = False,
@@ -842,10 +846,18 @@ class Receiver:
         known = [w for w in weights if w is not None]
         fill = float(np.median(known)) if known else 1.0
         weights = [fill if w is None else w for w in weights]
-        sol = pvt.solve_position(np.asarray(t_tx), ephs,
-                                 np.asarray(weights), apply_iono=True)
+        # integrity: RAIM fault detection/exclusion — a channel with an
+        # inconsistent pseudorange (e.g. a whole-code-period slip,
+        # ~300 km) is excluded; with no consistent subset, NO fix is
+        # reported rather than a wrong one
+        sol, excl = pvt.solve_position_raim(
+            np.asarray(t_tx), ephs, np.asarray(weights), apply_iono=True,
+            residual_gate_m=self.raim_residual_m)
         if sol is None or not sol.converged:
             return None
+        if excl is not None:
+            for lst in (t_tx, ephs, weights, dops, used):
+                del lst[excl]
         # satellite view + DOPs for NMEA emission (cli.nmea_out)
         from .cli.nmea_out import sat_geometry
         sv = np.array([e.get_xyz(t) for e, t in zip(ephs, t_tx)])
