@@ -108,14 +108,27 @@ def main(argv=None) -> int:
     recv = Receiver(cfg)
     on_sol = None
     if args.follow:
+        from . import nmea_out as _nm
+        _live_nmea = open(args.nmea_out, "w") if args.nmea_out else None
+
         def on_sol(s):
             print(f"[fix t={s.snap_epoch/1000:7.1f}s] "
                   + metrics.solution_line(s), flush=True)
+            if _live_nmea is not None:
+                # stream each burst as the fix lands so an operator can
+                # `tail -f | cli.nmea - --live`; the end-of-run
+                # write_track below rewrites the file complete (with
+                # the decoded GPS week)
+                for ln in _nm.solution_burst(s, week=None):
+                    _live_nmea.write(ln + "\r\n")
+                _live_nmea.flush()
     with metrics.METRICS.stage("receiver.total"):
         result = recv.process_source(src, max_duration_s=args.duration,
                                      warm_ephemerides=warm,
                                      on_solution=on_sol)
     if args.follow:
+        if _live_nmea is not None:
+            _live_nmea.close()
         why = "stalled (no growth)" if src.stalled else "end of stream"
         print(f"\nfollow ended: {why}; "
               f"worst lag {getattr(src, 'max_lag_s', 0.0):.2f}s"
