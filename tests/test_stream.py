@@ -484,3 +484,50 @@ def test_follow_source_reads_fifo(tmp_path):
     assert len(got) == 4
     np.testing.assert_array_equal(np.concatenate(got), bits)
     assert not src.stalled
+
+
+@pytest.mark.slow
+def test_bounded_history_trimming_matches_unbounded():
+    """max_history_s: a live receiver's per-channel memory is bounded
+    (old chunks dropped, anchors archived with absolute chip counts) and
+    the fixes match the unbounded run."""
+    from tests.test_e2e import FS, build_scene
+    from tpu_gnss.receiver import Receiver
+
+    iq, ephs, rx = build_scene(duration=20.0)
+    cfg = ReceiverConfig(fs=FS, fc=FS / 4, max_fo=5000.0, fft_len=4096,
+                         snr_threshold=20.0)
+    full = Receiver(cfg).process_iq(iq)
+    # bounded history is a LIVE-mode feature: fixes are computed
+    # in-stream before their epochs trim away (a batch run can only
+    # serve snapshots still inside the window)
+    trimmed = Receiver(cfg, max_history_s=12.0).process_source(
+        stream.ArraySource(iq, FS), chunk_s=2.0,
+        on_solution=lambda s: None)
+
+    assert trimmed.solutions and full.solutions
+    # trimming actually happened and bounded the arrays
+    live = [r for r in trimmed.channels if not r.lost]
+    assert any(r.trim_epochs > 0 for r in live), "nothing was trimmed"
+    for r in live:
+        assert len(r.ip_hist) <= 14000, "history not bounded"
+    full_mb = sum(a.nbytes for r in full.channels
+                  for p in r._chunks.values() for a in p)
+    trim_mb = sum(a.nbytes for r in trimmed.channels
+                  for p in r._chunks.values() for a in p)
+    assert trim_mb < 0.8 * full_mb
+    # Fix agreement on the live-servable epochs.  (Snapshots BEFORE
+    # ephemeris decode completes ~19 s in are retroactive end-pass
+    # fixes in the unbounded run; a bounded live receiver rightly
+    # forgoes them — their history is gone.)
+    et = {s.snap_epoch: s for s in trimmed.solutions}
+    ef = {s.snap_epoch: s for s in full.solutions}
+    common = sorted(set(et) & set(ef))
+    assert len(common) >= 3
+    for e in common:
+        a, b = et[e], ef[e]
+        d = np.linalg.norm(np.array([a.x - b.x, a.y - b.y, a.z - b.z]))
+        assert d < 5.0, f"trimmed fix diverged {d:.1f} m at {e}"
+    errs = [np.linalg.norm(np.array([s.x, s.y, s.z]) - np.array(rx))
+            for s in trimmed.solutions]
+    assert max(errs) < 10.0

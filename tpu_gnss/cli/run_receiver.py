@@ -66,6 +66,12 @@ def main(argv=None) -> int:
     p.add_argument("--max-lag", type=float, default=None, metavar="SEC",
                    help="--follow: skip ahead when the reader falls "
                         "more than SEC behind the writer frontier")
+    p.add_argument("--max-history", type=float, default=None,
+                   metavar="SEC",
+                   help="bound per-channel history to SEC seconds "
+                        "(defaults to 600 in --follow mode, unbounded "
+                        "otherwise); transmit-time anchors survive "
+                        "trimming")
     args = p.parse_args(argv)
     from ..utils.jaxcache import enable_persistent_cache
     enable_persistent_cache()
@@ -105,7 +111,10 @@ def main(argv=None) -> int:
         warm = load_state(args.warm_start).get("ephemerides")
         print(f"warm start: ephemerides for PRNs {sorted(warm or {})}")
 
-    recv = Receiver(cfg)
+    max_hist = args.max_history
+    if max_hist is None and args.follow:
+        max_hist = 600.0       # a live receiver must not grow unboundedly
+    recv = Receiver(cfg, max_history_s=max_hist)
     on_sol = None
     if args.follow:
         from . import nmea_out as _nm

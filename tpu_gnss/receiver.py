@@ -76,6 +76,8 @@ class ChannelRecord:
     cn0_dbhz: Optional[float] = None
     lost: bool = False
     n_epochs: int = 0
+    trim_epochs: int = 0          # epochs dropped from the history front
+    archived_subframes: list = dataclasses.field(default_factory=list)
     _chunks: dict = dataclasses.field(
         default_factory=lambda: {k: [] for k in _HIST_KEYS})
     _cat: dict = dataclasses.field(default_factory=dict)
@@ -105,7 +107,11 @@ class ChannelRecord:
         self._cat.clear()
 
     def hist(self, key: str) -> np.ndarray:
-        """Full concatenated history (cached until the next append)."""
+        """Retained history (cached until the next append/trim).
+
+        Index i holds epoch ``trim_epochs + i`` (channel-relative);
+        use :meth:`abs_slice` for absolute-epoch windows.
+        """
         got = self._cat.get(key)
         if got is None:
             parts = self._chunks[key]
@@ -113,6 +119,34 @@ class ChannelRecord:
                    else np.empty(0, np.float32))
             self._cat[key] = got
         return got
+
+    def abs_slice(self, key: str, lo: int, hi: int) -> np.ndarray:
+        """History window by ABSOLUTE channel epochs [lo, hi)."""
+        t = self.trim_epochs
+        return self.hist(key)[max(lo - t, 0): max(hi - t, 0)]
+
+    def abs_at(self, key: str, e: int):
+        """History value at absolute channel epoch ``e``."""
+        return self.hist(key)[e - self.trim_epochs]
+
+    def trim_to(self, keep_epochs: int) -> None:
+        """Bound retained history to ~the last ``keep_epochs`` epochs.
+
+        Whole leading chunks are dropped (no copies); the absolute
+        epoch <-> array index mapping shifts by ``trim_epochs``.
+        Transmit-time anchors survive trimming because a_edge is an
+        ABSOLUTE chip count (period-grid bit sync) — anchors decoded
+        from since-trimmed history are moved to ``archived_subframes``
+        by the next NAV decode pass.
+        """
+        while self._chunks["ip"]:
+            head = len(self._chunks["ip"][0])
+            if self.n_epochs - (self.trim_epochs + head) < keep_epochs:
+                break
+            for k in _HIST_KEYS:
+                self._chunks[k].pop(0)
+            self.trim_epochs += head
+            self._cat.clear()
 
     def tail(self, key: str, n: int) -> np.ndarray:
         """Last ``n`` epochs of one history without a full concat."""
@@ -174,7 +208,8 @@ class Receiver:
                  quality_gate: bool = True,
                  cn0_gate_dbhz: float = 25.0,
                  lock_gate: float = 0.45,
-                 raim_residual_m: float = 500.0):
+                 raim_residual_m: float = 500.0,
+                 max_history_s: Optional[float] = None):
         self.cfg = cfg
         self.searcher = FoldedSearcher(cfg, n_coherent=n_coherent)
         t_s = epochs_per_step * 1e-3
@@ -217,6 +252,11 @@ class Receiver:
         # fix integrity: weighted post-fit residual RMS gate + RAIM
         # fault exclusion (pvt.solve_position_raim)
         self.raim_residual_m = raim_residual_m
+        # live/unbounded streams: bound per-channel history to this many
+        # seconds (transmit-time anchors survive trimming — a_edge is an
+        # absolute chip count; decoded anchors are archived).  None =
+        # keep everything (batch mode).
+        self.max_history_s = max_history_s
 
     # ------------------------------------------------------------------
     def _cold_detections(self, head, bits: bool = False,
@@ -478,6 +518,19 @@ class Receiver:
                     reacq_cooldown = reacq_base
                     next_reacq = min(next_reacq,
                                      n_dispatched + reacq_base)
+                if self.max_history_s is not None:
+                    # window must hold whole subframes with margin so
+                    # NAV decode inside it stays possible
+                    keep = max(int(self.max_history_s * 1000), 12000)
+                    for r in snapshot:
+                        if (not r.lost
+                                and r.n_epochs - r.trim_epochs > keep):
+                            # decode BEFORE the window slides past
+                            # undecoded bits (anchors then survive via
+                            # the archive)
+                            with METRICS.stage("receiver.nav"):
+                                self._decode_nav(r)
+                            r.trim_to(keep)
                 n_drained += chunk_ep
 
         import os as _os
@@ -708,7 +761,9 @@ class Receiver:
             if r.lost or r.n_epochs < 2 * win:
                 continue
             if r._ref_pwr is None:
-                ref = r.hist("ip")[win // 2: win]
+                ref = r.abs_slice("ip", win // 2, win)
+                if len(ref) == 0:    # early history already trimmed
+                    ref = r.tail("ip", win)
                 r._ref_pwr = float(np.mean(np.square(ref)))
             cur = r.tail("ip", win)
             cur_pwr = float(np.mean(np.square(cur)))
@@ -725,6 +780,13 @@ class Receiver:
         ip = r.ip_hist
         if len(ip) < 40 * CODES_PER_BIT:
             return
+        # anchors from since-trimmed history stay valid (a_edge and tow
+        # are absolute); archive them before the window-only re-decode
+        seen = {a["a_edge"] for a in r.archived_subframes}
+        for s_old in r.subframes:
+            if s_old.get("a_edge") is not None and s_old["a_edge"] not in seen:
+                r.archived_subframes.append(s_old)
+                seen.add(s_old["a_edge"])
         r.subframes = []
         r.last_subframe_bit = None
         r.last_tow = None
@@ -736,7 +798,7 @@ class Receiver:
         # count (a_edge) — immune to the epoch-grid creep that made
         # epoch-based bit offsets slip by a whole period over minutes
         # (see nav/bits.bit_sync_periods).
-        skip = 600
+        skip = max(0, 600 - r.trim_epochs)   # pull-in may be long trimmed
         skip -= skip % CODES_PER_BIT
         chips = r.unwrapped_chips(self.cfg.fs)
         periods = np.round(np.asarray(chips) / CODE_LEN_CHIPS
@@ -753,14 +815,16 @@ class Receiver:
             # index -> exact chip count on the channel's integral scale
             start_period = rph + CODES_PER_BIT * (b_raw0 + f["start"])
             a_edge = float(start_period) * CODE_LEN_CHIPS
-            # receiver epoch where that bit begins (snapshot gating)
-            bit_epoch = skip + int(np.searchsorted(per_s, start_period))
+            # receiver epoch where that bit begins (snapshot gating;
+            # absolute channel epoch = trimmed + window offset)
+            bit_epoch = (r.trim_epochs + skip
+                         + int(np.searchsorted(per_s, start_period)))
             r.subframes.append(dict(sid=sid, tow=r.eph.tow,
                                     bit_epoch=bit_epoch, a_edge=a_edge))
             r.last_subframe_bit = bit_epoch
             r.last_tow = r.eph.tow
 
-    def _carrier_smoothed_chips(self, r: ChannelRecord, chips: np.ndarray,
+    def _carrier_smoothed_chips(self, r: ChannelRecord,
                                 e_local: int, max_w: int = 4000,
                                 settle: int = 1200) -> float:
         """Carrier-smoothed code phase at epoch ``e_local`` (chips).
@@ -777,15 +841,17 @@ class Receiver:
         start; a channel that loses lock stops accumulating epochs, so
         post-loss garbage cannot enter.
         """
-        w = min(e_local - settle, max_w)
+        w = min(e_local - settle, max_w, e_local - r.trim_epochs)
         if w < 100:
-            return float(chips[e_local])
+            return float(r.abs_at("chips", e_local))
         t_epoch = round(self.cfg.fs * 1e-3) / self.cfg.fs
         from .constants import L1_HZ
-        caf = np.asarray(r.hist("caf")[e_local - w: e_local], np.float64)
+        caf = np.asarray(r.abs_slice("caf", e_local - w, e_local),
+                         np.float64)
         rate = (CHIP_RATE_HZ + caf * (CHIP_RATE_HZ / L1_HZ)) * t_epoch
         tail = np.cumsum(rate[::-1])[::-1]    # advance from epoch i to snap
-        implied = np.asarray(chips[e_local - w: e_local], np.float64) + tail
+        implied = (np.asarray(r.abs_slice("chips", e_local - w, e_local),
+                              np.float64) + tail)
         return float(implied.mean())
 
     def _solve_at(self, recs, e_snap: int) -> Optional[pvt.Solution]:
@@ -808,23 +874,27 @@ class Receiver:
         for r in recs:
             e_local = e_snap - r.start_epoch  # records may start mid-run
             if (not r.eph.valid()
-                    or e_local >= r.n_epochs or e_local <= 0):
+                    or e_local >= r.n_epochs
+                    or e_local <= r.trim_epochs + 1):
                 continue
             if self.quality_gate:
-                ip_t = r.hist("ip")[max(0, e_local - 2000): e_local]
-                qp_t = r.hist("qp")[max(0, e_local - 2000): e_local]
+                ip_t = r.abs_slice("ip", e_local - 2000, e_local)
+                qp_t = r.abs_slice("qp", e_local - 2000, e_local)
                 lock = pll_lock_metric(ip_t, qp_t, window=200)
                 cn0 = cn0_nwpr(ip_t, qp_t)
                 if lock < self.lock_gate:
                     continue
                 if cn0 == cn0 and cn0 < self.cn0_gate_dbhz:
                     continue
-            anchors = [s for s in r.subframes
+            subs = {s["a_edge"]: s for s in r.archived_subframes
+                    if s.get("a_edge") is not None}
+            subs.update({s["a_edge"]: s for s in r.subframes
+                         if s.get("a_edge") is not None})
+            anchors = [s for s in subs.values()
                        if s["tow"] is not None and s["bit_epoch"] < e_local]
             if not anchors:
                 continue
-            chips = r.unwrapped_chips(self.cfg.fs)
-            a_snap = self._carrier_smoothed_chips(r, chips, e_local)
+            a_snap = self._carrier_smoothed_chips(r, e_local)
             t = _transmit_time(anchors, a_snap)
             t_tx.append(t)
             ephs.append(r.eph)
@@ -834,11 +904,11 @@ class Receiver:
                 weights.append(float(10.0 ** (cn0 / 10.0))
                                if cn0 == cn0 else None)
             else:   # gate off: the reference's prompt-power weighting
-                ip = r.ip_hist[max(0, e_local - 8): e_local]
+                ip = r.abs_slice("ip", e_local - 8, e_local)
                 weights.append(float(np.mean(np.square(ip))))
             # carrier Doppler at the snapshot, smoothed over the last
             # 100 ms to average PLL jitter (the loop BW is ~18 Hz)
-            cfh = r.carrier_freq_hist[max(0, e_local - 100): e_local]
+            cfh = r.abs_slice("caf", e_local - 100, e_local)
             dops.append(float(np.mean(cfh)) if len(cfh) else np.nan)
             used.append(r)
         if len(t_tx) < 4:
