@@ -29,7 +29,7 @@ from tpu_gnss.io.stream import FollowSource1Bit
 from tpu_gnss.receiver import Receiver
 import tests.test_e2e as E
 
-DURATION = 60.0
+DURATION = float(os.environ.get("LIVE_DURATION_S", "60"))
 src_path = os.path.join("/tmp", f"soak_1bit_{int(DURATION)}.bin")
 if not os.path.exists(src_path):
     # the soak payload generates it; regenerate here if absent
@@ -95,7 +95,9 @@ def on_fix(s):
 
 
 src = FollowSource1Bit(live_path, cfg, stall_timeout_s=10.0, poll_s=0.01)
-recv = Receiver(cfg)
+# bounded history: the live default (trimming + anchor archive)
+recv = Receiver(cfg, max_history_s=float(
+    os.environ.get("LIVE_MAX_HISTORY_S", "600")))
 t_start = time.perf_counter()
 th = threading.Thread(target=writer)
 th.start()
