@@ -104,7 +104,7 @@ def _single_process_track_truth():
                          fft_len=2048)
     n_chan, n_epochs = 8, 40
     p_len = round(cfg.fs * 1e-3)
-    svs = [synth.SvSignal(prn=1 + 3 * ch,
+    svs = [synth.SvSignal(prn=1 + (3 * ch) % 32,
                           doppler_hz=500.0 * (ch % 5) - 1000.0,
                           code_phase_chips=61.0 * ch % 1023.0)
            for ch in range(n_chan)]

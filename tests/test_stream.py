@@ -531,3 +531,30 @@ def test_bounded_history_trimming_matches_unbounded():
     errs = [np.linalg.norm(np.array([s.x, s.y, s.z]) - np.array(rx))
             for s in trimmed.solutions]
     assert max(errs) < 10.0
+
+
+def test_follow_reader_waits_for_file_creation(tmp_path):
+    """Receiver-before-writer ordering: the follow reader polls for the
+    capture file to APPEAR (review finding r3)."""
+    import threading
+    import time
+
+    path = tmp_path / "notyet.bin"
+
+    def writer():
+        time.sleep(0.1)
+        path.write_bytes(bytes(256))
+        (tmp_path / "notyet.bin.done").touch()
+
+    rd = stream._FollowReader(str(path), stall_timeout_s=5.0, poll_s=0.01)
+    t = threading.Thread(target=writer)
+    t.start()
+    got = list(rd.chunks(128))
+    t.join()
+    assert len(got) == 2 and not rd.stalled
+
+    # and a never-created file stalls out instead of raising
+    rd2 = stream._FollowReader(str(tmp_path / "never.bin"),
+                               stall_timeout_s=0.05, poll_s=0.01)
+    assert list(rd2.chunks(64)) == []
+    assert rd2.stalled

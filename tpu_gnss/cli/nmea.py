@@ -273,9 +273,15 @@ def live_monitor(source, st: "NmeaState") -> int:
     The reference's operator ergonomics: its 18 plot_nmea* scripts are
     curses apps redrawing a satellite table + fix panel on every
     sentence (reference: python/plot_nmea8-ttyACM0-GPS.py:222-283).
-    One consolidated monitor here; 'q' quits.
+    One consolidated monitor here; 'q' quits (when the NMEA stream is a
+    file/serial port — with stdin as the source, the keyboard IS the
+    stream, so key polling is disabled and Ctrl-C ends the monitor:
+    curses must not steal bytes from the sentences it is displaying).
     """
     import curses
+    import sys as _sys
+
+    poll_keys = source is not _sys.stdin
 
     def _run(scr):
         curses.use_default_colors()
@@ -287,7 +293,8 @@ def live_monitor(source, st: "NmeaState") -> int:
             n += 1
             scr.erase()
             rows, cols = scr.getmaxyx()
-            head = f"-- nmea live monitor -- sentences: {n}  (q quits)"
+            head = (f"-- nmea live monitor -- sentences: {n}  "
+                    + ("(q quits)" if poll_keys else "(Ctrl-C quits)"))
             lines = [head, ""] + st.summary().splitlines()
             for i, ln in enumerate(lines[: rows - 1]):
                 try:
@@ -295,7 +302,7 @@ def live_monitor(source, st: "NmeaState") -> int:
                 except curses.error:
                     pass
             scr.refresh()
-            if scr.getch() in (ord("q"), ord("Q")):
+            if poll_keys and scr.getch() in (ord("q"), ord("Q")):
                 return
     curses.wrapper(_run)
     print(st.summary())

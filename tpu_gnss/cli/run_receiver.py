@@ -77,7 +77,8 @@ def main(argv=None) -> int:
     enable_persistent_cache()
 
     import os
-    if not os.path.exists(args.filename):
+    if not os.path.exists(args.filename) and not args.follow:
+        # --follow waits for the writer to create the file instead
         print(f"error: capture file not found: {args.filename}",
               file=sys.stderr)
         return 2

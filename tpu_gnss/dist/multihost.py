@@ -239,12 +239,15 @@ def _worker(argv=None) -> int:
     # slices its local channels, and must gather the full locked bank
     from ..track import channel as tc
     from ..signal import synth
-    n_chan = 8
-    assert n_chan % args.num_processes == 0 and n_chan % n_total == 0
+    # channel count adapts to the topology: a multiple of the device
+    # count (track_epochs_sharded's requirement) and of the process
+    # count (equal per-host state slices); 8 channels at the standard
+    # test sizes, scaled up when devices outnumber them
+    n_chan = n_total * max(1, 8 // n_total)
     mesh_ch = global_mesh(("chan",), (n_total,))
     p_len = round(cfg.fs * 1e-3)
     n_epochs = 40
-    svs = [synth.SvSignal(prn=1 + 3 * ch,
+    svs = [synth.SvSignal(prn=1 + (3 * ch) % 32,
                           doppler_hz=500.0 * (ch % 5) - 1000.0,
                           code_phase_chips=61.0 * ch % 1023.0)
            for ch in range(n_chan)]

@@ -154,19 +154,10 @@ class IQFileSource(SampleSource):
                 yield np.frombuffer(raw, dtype=item)
 
     def blocks(self, block_len: int) -> Iterator[np.ndarray]:
-        item = self._item
-        with open(self.path, "rb") as f:
-            while True:
-                raw = f.read(2 * block_len * item.itemsize)
-                if len(raw) < 2 * block_len * item.itemsize:
-                    return
-                a = np.frombuffer(raw, dtype=item).astype(np.float32)
-                if self.dtype == "uint8":
-                    a = a - 128.0
-                y = a[0::2] + 1j * a[1::2]
-                if self.remove_dc:
-                    y = y - y.mean()
-                yield y.astype(np.complex64)
+        for raw in self.raw_blocks(block_len):
+            yield loaders.iq8_to_complex(raw,
+                                         signed=self.dtype == "int8",
+                                         remove_dc=self.remove_dc)
 
 
 class SynthSource(SampleSource):
@@ -251,6 +242,18 @@ class _FollowReader:
         import stat
         import time
 
+        # the natural live ordering is receiver-before-writer: wait for
+        # the capture file to APPEAR (same stall budget as for growth)
+        waited = 0.0
+        while not os.path.exists(self.path):
+            if os.path.exists(self.path + ".done"):
+                return
+            if waited >= self.stall_timeout_s:
+                self.stalled = True
+                return
+            self.waits += 1
+            time.sleep(self.poll_s)
+            waited += self.poll_s
         if stat.S_ISFIFO(os.stat(self.path).st_mode):
             yield from self._fifo_chunks(nbytes)
             return
@@ -378,15 +381,10 @@ class FollowIQSource(IQFileSource):
             yield np.frombuffer(raw, dtype=self._item)
 
     def blocks(self, block_len: int) -> Iterator[np.ndarray]:
-        item = self._item
-        for raw in self.reader.chunks(2 * block_len * item.itemsize):
-            a = np.frombuffer(raw, dtype=item).astype(np.float32)
-            if self.dtype == "uint8":
-                a = a - 128.0
-            y = a[0::2] + 1j * a[1::2]
-            if self.remove_dc:
-                y = y - y.mean()
-            yield y.astype(np.complex64)
+        for raw in self.reader.chunks(2 * block_len):
+            yield loaders.iq8_to_complex(
+                np.frombuffer(raw, dtype=self._item),
+                signed=self.dtype == "int8", remove_dc=self.remove_dc)
 
 
 class Prefetcher:

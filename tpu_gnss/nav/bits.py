@@ -186,9 +186,9 @@ def bits_from_prompt_periods(prompt_ip: np.ndarray, periods: np.ndarray,
     ip = np.asarray(prompt_ip)
     b_raw = (np.asarray(periods, dtype=np.int64) - r) // CODES_PER_BIT
     b0 = int(b_raw[0])
-    # drop the (possibly partial) leading bit
-    first_full = b0 + 1 if np.any(b_raw == b0) and (
-        (periods[0] - r) % CODES_PER_BIT != 0) else b0
+    # drop the leading bit iff the stream does not start on a bit edge
+    first_full = (b0 + 1 if (periods[0] - r) % CODES_PER_BIT != 0
+                  else b0)
     n_bits = int(b_raw[-1]) - first_full  # last bit may be partial: drop
     if n_bits <= 0:
         return np.zeros(0, np.uint8), first_full

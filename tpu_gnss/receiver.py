@@ -77,6 +77,7 @@ class ChannelRecord:
     lost: bool = False
     n_epochs: int = 0
     trim_epochs: int = 0          # epochs dropped from the history front
+    _decoded_upto: int = 0        # absolute epoch the last NAV pass covered
     archived_subframes: list = dataclasses.field(default_factory=list)
     _chunks: dict = dataclasses.field(
         default_factory=lambda: {k: [] for k in _HIST_KEYS})
@@ -522,9 +523,16 @@ class Receiver:
                     # window must hold whole subframes with margin so
                     # NAV decode inside it stays possible
                     keep = max(int(self.max_history_s * 1000), 12000)
-                    for r in snapshot:
-                        if (not r.lost
-                                and r.n_epochs - r.trim_epochs > keep):
+                    for r in recs:
+                        if r.lost and (n_dispatched
+                                       - (r.start_epoch + r.n_epochs)
+                                       > keep):
+                            # beyond any future snapshot: drop the
+                            # whole history (the record keeps its
+                            # anchors/ephemeris; under channel churn
+                            # lost records must not leak)
+                            r.trim_to(0)
+                        elif r.n_epochs - r.trim_epochs > keep:
                             # decode BEFORE the window slides past
                             # undecoded bits (anchors then survive via
                             # the archive)
@@ -778,10 +786,18 @@ class Receiver:
         """
         from .track.quality import cn0_nwpr
         ip = r.ip_hist
-        if len(ip) < 40 * CODES_PER_BIT:
+        # Incremental decode window: the first pass covers everything
+        # retained; later passes re-cover a 12 s overlap (two subframes)
+        # plus the new epochs, so repeated live-mode decodes cost
+        # O(new), not O(total history).  Anchors older than the window
+        # survive: a_edge and tow are absolute — archive them first.
+        if r._decoded_upto == 0:
+            start = r.trim_epochs
+        else:
+            start = max(r.trim_epochs, r._decoded_upto - 12000)
+        skip_abs = max(start, 600)   # skip the pull-in transient
+        if r.n_epochs - skip_abs < 40 * CODES_PER_BIT:
             return
-        # anchors from since-trimmed history stay valid (a_edge and tow
-        # are absolute); archive them before the window-only re-decode
         seen = {a["a_edge"] for a in r.archived_subframes}
         for s_old in r.subframes:
             if s_old.get("a_edge") is not None and s_old["a_edge"] not in seen:
@@ -792,18 +808,15 @@ class Receiver:
         r.last_tow = None
         qp = r.qp_hist
         r.cn0_dbhz = cn0_nwpr(ip[-2000:], qp[-2000:])
-        # Bit sync on the post-pull-in stream, on the CODE-PERIOD grid:
-        # the NAV bit grid is tied to the tracked chip integral's period
-        # index, so every subframe anchor carries an exact edge chip
-        # count (a_edge) — immune to the epoch-grid creep that made
-        # epoch-based bit offsets slip by a whole period over minutes
-        # (see nav/bits.bit_sync_periods).
-        skip = max(0, 600 - r.trim_epochs)   # pull-in may be long trimmed
-        skip -= skip % CODES_PER_BIT
-        chips = r.unwrapped_chips(self.cfg.fs)
-        periods = np.round(np.asarray(chips) / CODE_LEN_CHIPS
-                           ).astype(np.int64)
-        ip_s, per_s = ip[skip:], periods[skip:]
+        # Bit sync on the CODE-PERIOD grid: the NAV bit grid is tied to
+        # the tracked chip integral's period index, so every subframe
+        # anchor carries an exact edge chip count (a_edge) — immune to
+        # the epoch-grid creep that made epoch-based bit offsets slip by
+        # a whole period over minutes (see nav/bits.bit_sync_periods).
+        ip_s = r.abs_slice("ip", skip_abs, r.n_epochs)
+        chips_s = r.abs_slice("chips", skip_abs, r.n_epochs)
+        per_s = np.round(np.asarray(chips_s) / CODE_LEN_CHIPS
+                         ).astype(np.int64)
         rph = nav_bits.bit_sync_periods(ip_s, per_s)
         r.bit_offset = rph
         bits, b_raw0 = nav_bits.bits_from_prompt_periods(ip_s, per_s, rph)
@@ -815,14 +828,14 @@ class Receiver:
             # index -> exact chip count on the channel's integral scale
             start_period = rph + CODES_PER_BIT * (b_raw0 + f["start"])
             a_edge = float(start_period) * CODE_LEN_CHIPS
-            # receiver epoch where that bit begins (snapshot gating;
-            # absolute channel epoch = trimmed + window offset)
-            bit_epoch = (r.trim_epochs + skip
+            # receiver epoch where that bit begins (snapshot gating)
+            bit_epoch = (skip_abs
                          + int(np.searchsorted(per_s, start_period)))
             r.subframes.append(dict(sid=sid, tow=r.eph.tow,
                                     bit_epoch=bit_epoch, a_edge=a_edge))
             r.last_subframe_bit = bit_epoch
             r.last_tow = r.eph.tow
+        r._decoded_upto = r.n_epochs
 
     def _carrier_smoothed_chips(self, r: ChannelRecord,
                                 e_local: int, max_w: int = 4000,
