@@ -558,3 +558,74 @@ def test_follow_reader_waits_for_file_creation(tmp_path):
                                stall_timeout_s=0.05, poll_s=0.01)
     assert list(rd2.chunks(64)) == []
     assert rd2.stalled
+
+
+def test_follow_receiver_survives_writer_stall(tmp_path):
+    """A writer that PAUSES mid-stream (shorter than the stall budget)
+    must not end the stream: the receiver waits and resumes tracking
+    with no discontinuity."""
+    import threading
+    import time
+    from tpu_gnss.receiver import Receiver
+
+    fs = SMALL.fs
+    svs = [synth.SvSignal(prn=9, doppler_hz=500.0, code_phase_chips=300.0),
+           synth.SvSignal(prn=17, doppler_hz=-1200.0, code_phase_chips=10.0)]
+    iq = synth.synth_baseband(svs, fs, int(2.0 * fs), noise_std=0.4, seed=4)
+    payload = loaders.pack_1bit(synth.baseband_to_1bit_if(iq, SMALL.fc, fs))
+    path = tmp_path / "stall.bin"
+    path.write_bytes(b"")
+
+    def writer():
+        half = len(payload) // 2
+        with open(path, "ab") as f:
+            f.write(payload[:half])
+            f.flush()
+            time.sleep(1.0)          # mid-stream pause < stall budget
+            f.write(payload[half:])
+            f.flush()
+        (tmp_path / "stall.bin.done").touch()
+
+    src = stream.FollowSource1Bit(str(path), SMALL, stall_timeout_s=10.0)
+    t = threading.Thread(target=writer)
+    t.start()
+    out = Receiver(SMALL).process_source(src, chunk_s=0.5,
+                                         on_solution=lambda s: None)
+    t.join()
+    assert not src.stalled
+    assert sorted(d["prn"] for d in out.detections) == [9, 17]
+    for r in out.channels:
+        assert not r.lost, "stall must not break lock"
+        assert r.n_epochs >= 1900      # (nearly) the whole capture seen
+        ip = np.asarray(r.ip_hist[-100:])
+        assert np.abs(ip).mean() > 0.4 * 2048
+
+
+def test_follow_receiver_skip_ahead_recovers(tmp_path):
+    """Fall-behind handling end to end: with max_lag set and the whole
+    capture already on disk, the reader skips ahead; channels glitch
+    over the discontinuity and the receiver re-acquires the tail."""
+    import threading
+    import time
+    from tpu_gnss.receiver import Receiver
+
+    fs = SMALL.fs
+    svs = [synth.SvSignal(prn=9, doppler_hz=500.0, code_phase_chips=300.0)]
+    iq = synth.synth_baseband(svs, fs, int(6.0 * fs), noise_std=0.4, seed=4)
+    payload = loaders.pack_1bit(synth.baseband_to_1bit_if(iq, SMALL.fc, fs))
+    path = tmp_path / "lag.bin"
+    path.write_bytes(payload)          # writer "finished" long ago
+    (tmp_path / "lag.bin.done").touch()
+
+    src = stream.FollowSource1Bit(str(path), SMALL, stall_timeout_s=5.0,
+                                  max_lag_s=1.0)
+    out = Receiver(SMALL, los_timeout_s=1.0,
+                   reacq_interval_s=1.0).process_source(
+        src, chunk_s=0.5, on_solution=lambda s: None)
+    assert src.reader.skipped_bytes > 0, "premise: a skip must occur"
+    # the PRN is (re-)acquired after the skip and tracks at the tail
+    prn9 = [r for r in out.channels if r.prn == 9]
+    assert prn9, "PRN 9 never acquired"
+    tail = prn9[-1]
+    ip = np.asarray(tail.ip_hist[-100:])
+    assert np.abs(ip).mean() > 0.4 * 2048, "no lock after skip-ahead"
