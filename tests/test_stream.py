@@ -629,3 +629,34 @@ def test_follow_receiver_skip_ahead_recovers(tmp_path):
     tail = prn9[-1]
     ip = np.asarray(tail.ip_hist[-100:])
     assert np.abs(ip).mean() > 0.4 * 2048, "no lock after skip-ahead"
+
+
+def test_probation_frees_false_acquisition():
+    """A channel whose decoded stream never yields a parity-valid
+    subframe is a false acquisition: stable noise power defeats the
+    power watchdog, so probation must free it (reference
+    c/channel.cpp:39,343,363)."""
+    from tpu_gnss.receiver import Receiver, ChannelRecord
+
+    recv = Receiver(SMALL, probation_s=30.0)
+    z = np.zeros(40000, np.float32)
+    steady = np.full(40000, 50.0, np.float32)
+
+    false_ch = ChannelRecord(ch=0, prn=5, start_epoch=0)
+    false_ch.append_hist(steady, z, z, z, 1e-3)
+    false_ch._decoded_upto = 35000          # 35 s decoded, nothing found
+    recv._watchdog([false_ch])
+    assert false_ch.lost, "probation must free a subframe-less channel"
+
+    good = ChannelRecord(ch=1, prn=6, start_epoch=0)
+    good.append_hist(steady, z, z, z, 1e-3)
+    good._decoded_upto = 35000
+    good.subframes = [dict(sid=1, tow=7, bit_epoch=100, a_edge=0.0)]
+    recv._watchdog([good])
+    assert not good.lost, "a decoding channel must survive probation"
+
+    fresh = ChannelRecord(ch=2, prn=7, start_epoch=0)
+    fresh.append_hist(steady, z, z, z, 1e-3)
+    fresh._decoded_upto = 10000             # still inside probation
+    recv._watchdog([fresh])
+    assert not fresh.lost

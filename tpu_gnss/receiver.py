@@ -210,7 +210,8 @@ class Receiver:
                  cn0_gate_dbhz: float = 25.0,
                  lock_gate: float = 0.45,
                  raim_residual_m: float = 500.0,
-                 max_history_s: Optional[float] = None):
+                 max_history_s: Optional[float] = None,
+                 probation_s: float = 30.0):
         self.cfg = cfg
         self.searcher = FoldedSearcher(cfg, n_coherent=n_coherent)
         t_s = epochs_per_step * 1e-3
@@ -258,6 +259,11 @@ class Receiver:
         # absolute chip count; decoded anchors are archived).  None =
         # keep everything (batch mode).
         self.max_history_s = max_history_s
+        # probation: seconds of DECODED prompt stream with zero
+        # parity-valid subframes before a channel is declared a false
+        # acquisition and freed (only fires where NAV decode runs
+        # in-stream; a batch run decodes once at the end)
+        self.probation_s = probation_s
 
     # ------------------------------------------------------------------
     def _cold_detections(self, head, bits: bool = False,
@@ -337,9 +343,9 @@ class Receiver:
         cfg = self.cfg
         p = round(cfg.fs * 1e-3)
         eps = self.epochs_per_step
-        assert int(chunk_s * 1000) % eps == 0, \
+        assert round(chunk_s * 1000) % eps == 0, \
             "chunk_s must cover whole tracking steps"
-        chunk_len = max(1, int(chunk_s * 1000)) * p
+        chunk_len = max(1, round(chunk_s * 1000)) * p
         # fast path for 1-bit sources: transfer the capture's own packed
         # words (1 bit/sample — 8x less than unpacked bytes, 64x less
         # than int8 planes) and run unpack + quadrature mix on device
@@ -418,7 +424,8 @@ class Receiver:
             """Acquisition-ready head samples of a host chunk."""
             if use_packed:     # acquisition sees {0,1} samples
                 from .io import loaders
-                return loaders.unpack_1bit(blk.tobytes())[:acq_head_len]
+                words = blk[: (acq_head_len + 31) // 32]
+                return loaders.unpack_1bit(words.tobytes())[:acq_head_len]
             if use_rawiq:      # convert just the head on host
                 from .io.loaders import iq8_to_complex
                 return iq8_to_complex(
@@ -456,7 +463,12 @@ class Receiver:
                                     start_epoch=epoch_now,
                                     code_phase0=code_phase)
                 if warm_ephemerides and d["prn"] in warm_ephemerides:
-                    rec.eph = warm_ephemerides[d["prn"]]
+                    # deep copy: NAV decode mutates the Ephemeris in
+                    # place — the caller's checkpoint dict must not be
+                    # corrupted by a partial new-IOD ingest, and a lost
+                    # + re-acquired PRN must not alias one object
+                    import copy
+                    rec.eph = copy.deepcopy(warm_ephemerides[d["prn"]])
                 live[ch] = rec
                 recs.append(rec)
                 tracked.add(d["prn"])
@@ -486,6 +498,7 @@ class Receiver:
             side of the pipelining.
             """
             nonlocal state, reacq_cooldown, next_reacq, n_drained
+            nonlocal loss_events
             out_fut, snapshot, chunk_ep = pending
             # the blocking fetch absorbs any not-yet-finished device
             # compute plus the device->host copy (a worker thread has
@@ -516,6 +529,7 @@ class Receiver:
                     del live[ch]
                     stopped = True
                 if stopped:     # a loss re-arms the search promptly
+                    loss_events += 1
                     reacq_cooldown = reacq_base
                     next_reacq = min(next_reacq,
                                      n_dispatched + reacq_base)
@@ -546,6 +560,7 @@ class Receiver:
         trace = bool(_os.environ.get("TPU_GNSS_TRACE_CHUNKS"))
         n_dispatched = 0     # epochs sent to the tracker
         n_drained = 0        # epochs whose outputs reached the records
+        loss_events = 0      # signal-loss count (re-arm bookkeeping)
         solutions: list = []
         step_ms = int(self.solve_interval_s * 1000)
         next_solve = step_ms
@@ -573,11 +588,12 @@ class Receiver:
         import threading as _threading
         from concurrent.futures import ThreadPoolExecutor
         fetch_pool = ThreadPoolExecutor(max_workers=1)
-        reacq_job = None     # {"done", "dets", "epoch"}
+        reacq_job = None     # {"done", "dets", "epoch", "loss_mark"}
 
         def launch_reacq(blk, epoch_now):
             tracked = frozenset(r.prn for r in live.values())
-            job = {"done": False, "dets": [], "epoch": epoch_now}
+            job = {"done": False, "dets": [], "epoch": epoch_now,
+                   "loss_mark": loss_events}
 
             def work():
                 try:
@@ -616,7 +632,13 @@ class Receiver:
                 reacq_cooldown = (reacq_base if started
                                   else min(2 * reacq_cooldown,
                                            8 * reacq_base))
-                next_reacq = n_dispatched + reacq_cooldown
+                if reacq_job["loss_mark"] == loss_events:
+                    next_reacq = n_dispatched + reacq_cooldown
+                else:
+                    # a channel was lost while this search was in
+                    # flight: keep the (sooner) loss re-arm schedule
+                    next_reacq = min(next_reacq,
+                                     n_dispatched + reacq_cooldown)
                 reacq_job = None
             if (reacq_job is None and n_dispatched >= next_reacq
                     and len(live) < n_chan
@@ -707,8 +729,13 @@ class Receiver:
             scale = 127.0 / (6.0 * rms) if rms > 1e-12 else 1.0
             try:
                 return to_device_complex_i8(blk, scale)
-            except Exception:
-                # backend without int8 transfer support: fall back once
+            except Exception as exc:
+                # backend without int8 transfer support: fall back once,
+                # loudly — a silent downgrade would also mask real bugs
+                import sys as _sys
+                print(f"tpu_gnss: int8 uplink failed ({exc!r}); "
+                      "falling back to float32 planes (4x link traffic)",
+                      file=_sys.stderr)
                 self.transfer_dtype = "float32"
         from .utils.xfer import to_device_complex
         return to_device_complex(blk)
@@ -763,10 +790,19 @@ class Receiver:
 
     # ------------------------------------------------------------------
     def _watchdog(self, recs) -> None:
-        """Free channels whose prompt power collapsed (SignalLost analog)."""
+        """Free channels whose prompt power collapsed (SignalLost analog)
+        or that never produced a parity-valid subframe (probation,
+        reference: c/channel.cpp:39,343,363 — a false acquisition tracks
+        noise at stable power, so the power watchdog alone would let it
+        occupy a slot and block its PRN forever)."""
         win = int(self.los_timeout_s * 1000)
+        probation = int(self.probation_s * 1000)
         for r in recs:
             if r.lost or r.n_epochs < 2 * win:
+                continue
+            if (r._decoded_upto >= probation
+                    and not r.subframes and not r.archived_subframes):
+                r.lost = True
                 continue
             if r._ref_pwr is None:
                 ref = r.abs_slice("ip", win // 2, win)
@@ -803,6 +839,9 @@ class Receiver:
             if s_old.get("a_edge") is not None and s_old["a_edge"] not in seen:
                 r.archived_subframes.append(s_old)
                 seen.add(s_old["a_edge"])
+        if len(r.archived_subframes) > 64:   # bound: the transmit-time
+            # vote needs a handful of anchors, not a day's worth
+            r.archived_subframes = r.archived_subframes[-64:]
         r.subframes = []
         r.last_subframe_bit = None
         r.last_tow = None
@@ -938,7 +977,9 @@ class Receiver:
             residual_gate_m=self.raim_residual_m)
         if sol is None or not sol.converged:
             return None
+        excluded_rec = None
         if excl is not None:
+            excluded_rec = (used[excl], t_tx[excl])
             for lst in (t_tx, ephs, weights, dops, used):
                 del lst[excl]
         # satellite view + DOPs for NMEA emission (cli.nmea_out)
@@ -949,6 +990,16 @@ class Receiver:
         sol.sats = [dict(prn=r.prn, elev_deg=float(el), az_deg=float(a),
                          cn0_dbhz=r.cn0_dbhz, used=True)
                     for r, el, a in zip(used, elev, az)]
+        if excluded_rec is not None:
+            # tracked but excluded by integrity: still in view (GSV),
+            # marked unused (GSA filters on the flag)
+            r_x, t_x = excluded_rec
+            el_x, az_x, _ = sat_geometry(
+                np.array([sol.x, sol.y, sol.z]),
+                np.array([r_x.eph.get_xyz(t_x)]))
+            sol.sats.append(dict(prn=r_x.prn, elev_deg=float(el_x[0]),
+                                 az_deg=float(az_x[0]),
+                                 cn0_dbhz=r_x.cn0_dbhz, used=False))
         # Doppler velocity solve at the converged position (VTG analog;
         # beyond the reference, which never computes velocity)
         dops = np.asarray(dops)
