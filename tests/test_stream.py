@@ -660,3 +660,16 @@ def test_probation_frees_false_acquisition():
     fresh._decoded_upto = 10000             # still inside probation
     recv._watchdog([fresh])
     assert not fresh.lost
+
+
+def test_code_lock_ratio_reported_and_high_when_locked():
+    """The chunk-mean E/L/P fetch feeds code_lock_metric: a locked
+    channel sits near prompt/sides ~2, and the value reaches the
+    record (VERDICT r2 #6, code-lock half)."""
+    from tpu_gnss.receiver import Receiver
+    svs = [synth.SvSignal(prn=9, doppler_hz=500.0, code_phase_chips=300.0)]
+    src = stream.SynthSource(svs, SMALL.fs, noise_std=0.5)
+    out = Receiver(SMALL).process_source(src, max_duration_s=1.0)
+    r = out.channels[0]
+    assert r.code_lock is not None
+    assert r.code_lock > 1.5, f"locked channel ratio {r.code_lock:.2f}"

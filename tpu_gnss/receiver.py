@@ -74,6 +74,7 @@ class ChannelRecord:
     last_subframe_bit: Optional[int] = None   # bit index of last subframe
     last_tow: Optional[int] = None
     cn0_dbhz: Optional[float] = None
+    code_lock: Optional[float] = None   # prompt/sides ratio, last chunk
     lost: bool = False
     n_epochs: int = 0
     trim_epochs: int = 0          # epochs dropped from the history front
@@ -211,7 +212,8 @@ class Receiver:
                  lock_gate: float = 0.45,
                  raim_residual_m: float = 500.0,
                  max_history_s: Optional[float] = None,
-                 probation_s: float = 30.0):
+                 probation_s: float = 30.0,
+                 code_lock_gate: float = 1.3):
         self.cfg = cfg
         self.searcher = FoldedSearcher(cfg, n_coherent=n_coherent)
         t_s = epochs_per_step * 1e-3
@@ -264,6 +266,9 @@ class Receiver:
         # acquisition and freed (only fires where NAV decode runs
         # in-stream; a batch run decodes once at the end)
         self.probation_s = probation_s
+        # code-lock gate on the chunk-mean prompt/sides ratio (~2 when
+        # centered on the peak, ~1 when the DLL slipped off)
+        self.code_lock_gate = code_lock_gate
 
     # ------------------------------------------------------------------
     def _cold_detections(self, head, bits: bool = False,
@@ -505,7 +510,7 @@ class Receiver:
             # been pulling it since dispatch); bookkeeping is timed
             # separately so the two can't be conflated
             with METRICS.stage("receiver.fetch"):
-                arr = out_fut.result()           # [4, n_ep, n_chan]
+                arr, elp = out_fut.result()      # [4, n_ep, n_chan]
             with METRICS.stage("receiver.drain"):
                 ip, qp, cf, caf = arr
                 # skip channels the PREVIOUS drain declared lost (their
@@ -520,6 +525,14 @@ class Receiver:
                                   np.ascontiguousarray(cf[:, r.ch]),
                                   np.ascontiguousarray(caf[:, r.ch]),
                                   t_epoch)
+                    # code-lock detector input: chunk-mean E/L/P mags
+                    # (prompt-vs-sides ratio ~2 when the code sits on
+                    # the correlation peak, ~1 when it slipped off)
+                    e_m, l_m, p_m = (float(elp[0, r.ch]),
+                                     float(elp[1, r.ch]),
+                                     float(elp[2, r.ch]))
+                    side = max(0.5 * (e_m + l_m), 1e-30)
+                    r.code_lock = p_m / side
                 # watchdog: free dead channels + their slots (SignalLost)
                 self._watchdog([r for r in snapshot if not r.lost])
                 stopped = False
@@ -652,14 +665,17 @@ class Receiver:
                     epochs_per_step=eps,
                     code_ffts=code_ffts,
                     agc_thresholds=self.agc_thresholds)
-                out_dev = _pack_out(out)
+                out_dev, elp_dev = _pack_out(out)
                 try:
                     # start the device->host copy immediately; the
                     # worker's np.asarray then finds it complete
                     out_dev.copy_to_host_async()
+                    elp_dev.copy_to_host_async()
                 except Exception:   # backends without async host copies
                     pass
-            pendings.append((fetch_pool.submit(np.asarray, out_dev),
+            pendings.append((fetch_pool.submit(
+                lambda a=out_dev, b=elp_dev: (np.asarray(a),
+                                              np.asarray(b))),
                              list(live.values()), n_ep))
             n_dispatched += n_ep
             while len(pendings) > depth:
@@ -938,6 +954,9 @@ class Receiver:
                     continue
                 if cn0 == cn0 and cn0 < self.cn0_gate_dbhz:
                     continue
+                if (r.code_lock is not None
+                        and r.code_lock < self.code_lock_gate):
+                    continue
             subs = {s["a_edge"]: s for s in r.archived_subframes
                     if s.get("a_edge") is not None}
             subs.update({s["a_edge"]: s for s in r.subframes
@@ -1064,11 +1083,27 @@ _PACK_FN = None
 
 
 def _pack_out(out: tc.EpochOut):
-    """Stack the four per-epoch output planes for ONE device->host fetch."""
+    """Pack per-epoch planes + per-chunk E/L/P magnitude means.
+
+    One device->host fetch per chunk: the four [n_ep, n_chan] planes
+    the host bookkeeping needs, plus a tiny [3, n_chan] chunk-mean of
+    |early|, |late|, |prompt| — enough for the code-lock detector
+    (track/quality.code_lock_metric) without shipping the full E/L
+    histories (they would add 50% to the link traffic for a statistic
+    that is only ever windowed).
+    """
     global _PACK_FN
     if _PACK_FN is None:
         import jax
         import jax.numpy as jnp
-        _PACK_FN = jax.jit(lambda o: jnp.stack(
-            [o.ip, o.qp, o.code_dev, o.carrier_freq]).astype(jnp.float32))
+
+        def pack(o):
+            planes = jnp.stack(
+                [o.ip, o.qp, o.code_dev, o.carrier_freq]
+            ).astype(jnp.float32)
+            p_mag = jnp.sqrt(o.ip * o.ip + o.qp * o.qp)
+            elp = jnp.stack([o.e_mag.mean(0), o.l_mag.mean(0),
+                             p_mag.mean(0)]).astype(jnp.float32)
+            return planes, elp
+        _PACK_FN = jax.jit(pack)
     return _PACK_FN(out)
