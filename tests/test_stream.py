@@ -673,3 +673,116 @@ def test_code_lock_ratio_reported_and_high_when_locked():
     r = out.channels[0]
     assert r.code_lock is not None
     assert r.code_lock > 1.5, f"locked channel ratio {r.code_lock:.2f}"
+
+
+def test_prefetcher_stop_releases_pump(tmp_path, rng):
+    """stop() must unblock a pump stuck on a full queue and end the
+    thread (ADVICE r3: an early-terminated run otherwise pins ~depth
+    uploaded buffers + a daemon thread + the open capture forever)."""
+    bits = rng.integers(0, 2, 4096 * 64).astype(np.uint8)
+    path = tmp_path / "cap.bin"
+    path.write_bytes(loaders.pack_1bit(bits))
+    src = stream.FileSource1Bit(str(path), SMALL)
+    pf = stream.Prefetcher(src, 4096, depth=2)
+    it = iter(pf)
+    next(it)                       # consume one; pump now blocks on put
+    import time
+    time.sleep(0.05)
+    assert pf._thread.is_alive()
+    pf.stop()
+    assert not pf._thread.is_alive(), "pump thread must exit on stop()"
+    # idempotent
+    pf.stop()
+
+
+def test_receiver_early_exit_stops_prefetcher():
+    """process_source(max_duration_s=...) must not leave the pump
+    thread alive after returning (the ADVICE r3 leak)."""
+    import threading
+    from tpu_gnss.receiver import Receiver
+    svs = [synth.SvSignal(prn=9, doppler_hz=500.0, code_phase_chips=300.0)]
+    src = stream.SynthSource(svs, SMALL.fs, noise_std=0.5)  # unbounded
+    before = {t.ident for t in threading.enumerate()}
+    Receiver(SMALL).process_source(src, max_duration_s=1.0)
+    import time
+    deadline = time.monotonic() + 5.0
+    while time.monotonic() < deadline:
+        leaked = [t for t in threading.enumerate()
+                  if t.ident not in before and t.is_alive()
+                  and "ThreadPoolExecutor" not in (t.name or "")]
+        if not leaked:
+            break
+        time.sleep(0.05)
+    assert not leaked, f"threads leaked past process_source: {leaked}"
+
+
+def test_fifo_stall_timeout(tmp_path):
+    """A FIFO writer that hangs WITHOUT closing must end iteration with
+    stalled=True within the stall budget (ADVICE r3: --stall-timeout
+    silently did nothing for FIFO sources)."""
+    import os
+    import threading
+    fifo = tmp_path / "pipe.bin"
+    os.mkfifo(fifo)
+    hold = threading.Event()
+
+    def writer():
+        fd = os.open(fifo, os.O_WRONLY)
+        os.write(fd, b"\xAA" * 512)
+        hold.wait(timeout=30)      # hang: neither writes nor closes
+        os.close(fd)
+
+    th = threading.Thread(target=writer, daemon=True)
+    th.start()
+    rd = stream._FollowReader(str(fifo), stall_timeout_s=0.3, poll_s=0.02)
+    got = list(rd.chunks(512))
+    assert len(got) == 1 and got[0] == b"\xAA" * 512
+    assert rd.stalled, "hung FIFO writer must be reported as a stall"
+    hold.set()
+    th.join(timeout=5)
+
+
+def test_fifo_waits_for_slow_writer_connect(tmp_path):
+    """A FIFO whose writer connects late (within the stall budget) must
+    still deliver data — the non-blocking open must not read the
+    no-writer EOF condition as end-of-stream."""
+    import os
+    import threading
+    fifo = tmp_path / "pipe.bin"
+    os.mkfifo(fifo)
+
+    def writer():
+        import time
+        time.sleep(0.2)
+        with open(fifo, "wb") as f:
+            f.write(b"\x55" * 1024)
+
+    th = threading.Thread(target=writer, daemon=True)
+    th.start()
+    rd = stream._FollowReader(str(fifo), stall_timeout_s=2.0, poll_s=0.02)
+    got = list(rd.chunks(512))
+    th.join(timeout=5)
+    assert len(got) == 2 and not rd.stalled
+
+
+def test_code_lock_gate_samples_at_snapshot_epoch():
+    """_solve_at gates on the code-lock ratio of the chunk CONTAINING
+    the snapshot, not the channel's final chunk (ADVICE r3: a channel
+    that degraded late must not retroactively veto earlier healthy
+    snapshots)."""
+    from tpu_gnss.receiver import ChannelRecord
+    r = ChannelRecord(ch=0, prn=5, start_epoch=0)
+    r.code_lock_hist = [(1000, 2.0), (2000, 1.9), (3000, 0.9)]
+    r.code_lock = 0.9
+    assert r.code_lock_at(500) == 2.0
+    assert r.code_lock_at(1000) == 2.0
+    assert r.code_lock_at(1500) == 1.9
+    assert r.code_lock_at(2500) == 0.9
+    # within one chunk past the last measurement: trust the latest
+    assert r.code_lock_at(3500) == 0.9
+    # far past the last drained chunk: no contemporaneous measurement
+    assert r.code_lock_at(9000) is None
+    # no history at all: fall back to the scalar
+    r2 = ChannelRecord(ch=1, prn=6, start_epoch=0)
+    r2.code_lock = 1.7
+    assert r2.code_lock_at(123) == 1.7

@@ -290,25 +290,66 @@ class _FollowReader:
                 waited += self.poll_s
 
     def _fifo_chunks(self, nbytes: int) -> Iterator[bytes]:
-        """Named-pipe variant: blocking reads ARE the flow control.
+        """Named-pipe variant: the pipe buffer IS the flow control.
 
-        A FIFO has no growing st_size to poll — the OS blocks the read
-        until the writer produces data (the sample-upload backpressure
-        the reference gets from its SPI BUSY flag, c/spi.cpp:34-53).
-        Writer closing the pipe -> short read -> clean end-of-stream;
-        fall-behind cannot happen (the pipe buffer bounds the writer).
+        A FIFO has no growing st_size to poll — the OS holds data until
+        the reader drains it (the sample-upload backpressure the
+        reference gets from its SPI BUSY flag, c/spi.cpp:34-53).
+        Fall-behind cannot happen (the pipe buffer bounds the writer, so
+        ``max_lag_bytes_limit`` is a no-op here), but a writer that
+        HANGS without closing must still be detected: the fd is
+        non-blocking and polled with the same ``stall_timeout_s`` budget
+        as the growing-file path, ending iteration with ``stalled=True``.
+        Writer closing the pipe -> EOF -> clean end-of-stream.
         """
-        buf = bytearray()
-        with open(self.path, "rb") as f:
+        import os
+        import select
+        import time
+
+        # O_NONBLOCK: open succeeds before any writer connects, and
+        # reads never block the pump thread forever on a hung writer
+        fd = os.open(self.path, os.O_RDONLY | os.O_NONBLOCK)
+        try:
+            buf = bytearray()
+            waited = 0.0
+            seen_writer = False
             while True:
-                got = f.read(nbytes - len(buf))
-                if not got:          # writer closed: end of stream
-                    return           # (partial tail < one chunk dropped)
+                r, _, _ = select.select([fd], [], [], self.poll_s)
+                if not r:
+                    self.waits += 1
+                    waited += self.poll_s
+                    if waited >= self.stall_timeout_s:
+                        self.stalled = True
+                        return
+                    continue
+                try:
+                    got = os.read(fd, nbytes - len(buf))
+                except BlockingIOError:
+                    got = None
+                if got == b"":
+                    if seen_writer:
+                        return   # writer closed: clean end of stream
+                    # no writer has opened yet: select reports EOF-
+                    # readable on an unconnected FIFO — keep waiting
+                    # within the stall budget without spinning hot
+                    time.sleep(self.poll_s)
+                    self.waits += 1
+                    waited += self.poll_s
+                    if waited >= self.stall_timeout_s:
+                        self.stalled = True
+                        return
+                    continue
+                if not got:
+                    continue
+                seen_writer = True
+                waited = 0.0
                 buf.extend(got)
                 if len(buf) == nbytes:
                     self.pos += nbytes
                     yield bytes(buf)
                     buf.clear()
+        finally:
+            os.close(fd)
 
 
 class FollowSource1Bit(FileSource1Bit):
@@ -409,22 +450,72 @@ class Prefetcher:
         self._block_len = block_len
         self._mode = mode or ("bits" if bits else "iq")
         self._transform = transform
+        self._stop = threading.Event()
         self._thread = threading.Thread(target=self._pump, daemon=True)
         self._thread.start()
 
     def _pump(self):
+        it = None
         try:
             name = {"bits": "bit_blocks", "packed": "packed_blocks",
                     "rawiq": "raw_blocks", "iq": "blocks"}[self._mode]
             it = getattr(self._src, name)(self._block_len)
             for blk in it:
+                if self._stop.is_set():
+                    return
                 if self._transform is not None:
                     blk = self._transform(blk)
-                self._q.put(blk)
+                while not self._stop.is_set():
+                    try:
+                        self._q.put(blk, timeout=0.1)
+                        break
+                    except queue.Full:
+                        pass
+                if self._stop.is_set():
+                    return
         except BaseException as exc:  # re-raised in the consumer
             self._err = exc
         finally:
-            self._q.put(None)
+            # closing the generator here (in the pump thread, after the
+            # loop exits) releases the open capture file / FIFO fd
+            if it is not None and hasattr(it, "close"):
+                try:
+                    it.close()
+                except Exception:
+                    pass
+            # end-of-stream sentinel: must block until there is room
+            # (a full queue just means the consumer is behind) but stay
+            # interruptible so stop() can release an abandoned pump
+            while not self._stop.is_set():
+                try:
+                    self._q.put(None, timeout=0.1)
+                    break
+                except queue.Full:
+                    pass
+
+    def stop(self, join_timeout_s: float = 5.0) -> None:
+        """Terminate the pump thread and release its resources.
+
+        Safe after any exit from the consuming loop (early break on
+        max_duration_s, an exception, end of stream).  Without this, an
+        early-abandoned Prefetcher pins ~depth queued chunks (each a
+        device-resident buffer when ``transform`` uploads), a daemon
+        thread blocked on the queue, and the open capture file for the
+        process lifetime.
+        """
+        self._stop.set()
+        while self._thread.is_alive():
+            # unblock a pump stuck in q.put; bounded by the put timeout
+            try:
+                while True:
+                    self._q.get_nowait()
+            except queue.Empty:
+                pass
+            self._thread.join(timeout=0.2)
+            join_timeout_s -= 0.2
+            if join_timeout_s <= 0:
+                break   # reader blocked in I/O (e.g. FIFO read): daemon
+                        # thread dies with the process; queue is empty
 
     def __iter__(self):
         while True:
