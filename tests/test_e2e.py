@@ -25,9 +25,15 @@ T_OE = 302400.0
 
 
 def sv_time_knots(eph, rx_ecef, t_rx_knots):
-    """Light-time-exact raw SV times at receiver-time knots."""
+    """Light-time-exact raw SV times at receiver-time knots.
+
+    ``rx_ecef``: ``[3]`` (static receiver) or ``[len(t_rx_knots), 3]``
+    (receiver position at each knot — moving-receiver scenes).
+    """
+    rx_arr = np.asarray(rx_ecef, np.float64)
     out = []
-    for t_rx in t_rx_knots:
+    for i, t_rx in enumerate(t_rx_knots):
+        rx_i = rx_arr if rx_arr.ndim == 1 else rx_arr[i]
         t_tx = t_rx - 0.075
         for _ in range(6):
             svp = np.array(eph.get_xyz(t_tx))
@@ -35,13 +41,22 @@ def sv_time_knots(eph, rx_ecef, t_rx_knots):
             ct, st = np.cos(th), np.sin(th)
             eci = np.array([svp[0] * ct - svp[1] * st,
                             svp[0] * st + svp[1] * ct, svp[2]])
-            r = np.linalg.norm(np.asarray(rx_ecef) - eci)
+            r = np.linalg.norm(rx_i - eci)
             t_tx = t_rx - r / SPEED_OF_LIGHT
         raw = t_tx
         for _ in range(4):
             raw = t_tx + eph.clock_correction(raw)
         out.append(raw)
     return np.array(out)
+
+
+def enu_to_ecef_matrix(lat_deg: float, lon_deg: float) -> np.ndarray:
+    """Columns are the local East/North/Up unit vectors in ECEF."""
+    from tpu_gnss.pvt.iono import ecef_to_enu
+    lat, lon = np.radians(lat_deg), np.radians(lon_deg)
+    r = np.column_stack([ecef_to_enu(None, lat, lon, e)
+                         for e in np.eye(3)])
+    return r.T   # ecef_to_enu's matrix maps ECEF->ENU; transpose inverts
 
 
 @pytest.fixture(scope="module")
@@ -51,7 +66,8 @@ def scene():
 
 
 def build_scene(duration: float = 20.0, n_sv: int = 6, noise: float = 0.7,
-                seed: int = 42, dropout=None, degrade=None):
+                seed: int = 42, dropout=None, degrade=None,
+                rx_vel_enu=None, doppler_ramp_hz_s: float = 0.0):
     """Consistent multi-SV scene: (iq, ephs, rx_ecef).
 
     Shared by the e2e tests and tools/e2e_payload.py /
@@ -67,10 +83,29 @@ def build_scene(duration: float = 20.0, n_sv: int = 6, noise: float = 0.7,
     amplitude drops to ``gain`` from t0 on (deep fade: still present,
     but C/N0 collapses and tracking slips), for solver quality-gate
     tests.
+
+    ``rx_vel_enu``: optional ``[3]`` East/North/Up receiver velocity
+    (m/s), constant over the scene.  The light-time iteration sees the
+    moving position at every knot, so code phase, carrier Doppler and
+    NAV timing all carry the motion consistently — the truth for
+    velocity-solve / RMC/VTG end-to-end tests.  ``rx_ecef`` in the
+    return stays the t=0 position; truth at scene time t is
+    ``rx + enu_to_ecef_matrix(lat, lon) @ rx_vel_enu * t``.
+
+    ``doppler_ramp_hz_s``: optional common carrier-Doppler ramp (Hz/s at
+    L1), modeling receiver clock drift rate / acceleration for
+    high-dynamics stress.  Implemented as a quadratic receiver clock
+    term: d(t_rx_true)/dt = 1 + ramp/L1 * t, which perturbs every SV's
+    observed Doppler by ``ramp * t`` while keeping the scene physically
+    consistent (it is exactly an accelerating receiver oscillator).
     """
     rng = np.random.default_rng(seed)
     ephs = make_constellation(n_sv, t_oe=T_OE)
     rx = ps.geodetic_to_ecef(*TRUTH_LLA)
+    vel_ecef = None
+    if rx_vel_enu is not None:
+        vel_ecef = enu_to_ecef_matrix(TRUTH_LLA[0], TRUTH_LLA[1]) \
+            @ np.asarray(rx_vel_enu, np.float64)
 
     # Receiver timeline: `duration` s starting t_rx0.  Each SV's NAV
     # stream cycles [sf4, sf1, sf2, sf3]; t_rx0 is chosen so t_sv0 lands
@@ -90,8 +125,18 @@ def build_scene(duration: float = 20.0, n_sv: int = 6, noise: float = 0.7,
     # soak scene generates in well under 1 GB instead of >10 GB.
     iq = np.zeros(n, dtype=np.complex64)
     seg_n = int(2.0 * FS)
+    # receiver-clock acceleration: sample n (receiver time t) sees the
+    # field at true time t + 0.5*(ramp/L1)*t^2 — every SV's Doppler
+    # ramps by ``doppler_ramp_hz_s`` Hz/s, physically consistently
+    knots_t = t_rx0 + t_knots
+    if doppler_ramp_hz_s:
+        from tpu_gnss.constants import L1_HZ
+        knots_t = knots_t + 0.5 * (doppler_ramp_hz_s / L1_HZ) * t_knots ** 2
+    rx_np = np.asarray(rx, np.float64)
+    rx_knots = (rx_np if vel_ecef is None
+                else rx_np[None, :] + np.outer(t_knots, vel_ecef))
     for k, eph in enumerate(ephs):
-        tsv_k = sv_time_knots(eph, rx, t_rx0 + t_knots)
+        tsv_k = sv_time_knots(eph, rx_knots, knots_t)
         poly = np.polynomial.Polynomial.fit(t_knots, tsv_k, deg=fit_deg)
         tsv0 = float(poly(0.0))
         # stream origin: the subframe boundary below t_sv0 (sf4 filler
@@ -255,3 +300,107 @@ def test_quality_gate_excludes_degraded_channel():
     assert err_g < 10.0, f"gated fix error {err_g:.1f} m"
     assert err_g <= err_u + 0.5, (
         f"gating made the fix worse: {err_g:.1f} vs {err_u:.1f} m")
+
+
+@pytest.mark.slow
+def test_moving_receiver_velocity_e2e():
+    """Moving-receiver end-to-end (VERDICT r3 #5): a constant-velocity
+    trajectory through the full chain must land in the Doppler velocity
+    solve AND in the emitted RMC/VTG sentences — the quantities the
+    reference ecosystem validates with commercial receivers
+    (reference: python/plot_nmea8-ttyACM0-GPS.py:84-159)."""
+    v_enu = np.array([15.0, 8.0, 0.0])     # ~33 kt ground vehicle
+    iq, ephs, rx = build_scene(duration=20.0, n_sv=6, rx_vel_enu=v_enu)
+    cfg = ReceiverConfig(fs=FS, fc=FS / 4, max_fo=5000.0, fft_len=4096,
+                         snr_threshold=20.0)
+    res = Receiver(cfg).process_iq(iq)
+    assert res.solutions, "no fix from the moving-receiver scene"
+    sol = res.solutions[-1]
+
+    # position truth moves with the trajectory
+    t_fix = sol.snap_epoch * 1e-3
+    rx_t = (np.asarray(rx) +
+            enu_to_ecef_matrix(TRUTH_LLA[0], TRUTH_LLA[1]) @ v_enu * t_fix)
+    err = np.linalg.norm(np.array([sol.x, sol.y, sol.z]) - rx_t)
+    assert err < 15.0, f"moving-receiver position error {err:.1f} m"
+
+    # velocity from tracked carrier Doppler
+    assert sol.vel is not None, "velocity not attached"
+    assert abs(sol.vel.ve - v_enu[0]) < 0.5, sol.vel
+    assert abs(sol.vel.vn - v_enu[1]) < 0.5, sol.vel
+    assert abs(sol.vel.vu - v_enu[2]) < 1.0, sol.vel
+    speed_true = float(np.hypot(v_enu[0], v_enu[1]))
+    course_true = float(np.degrees(np.arctan2(v_enu[0], v_enu[1])))
+    assert abs(sol.vel.speed_mps - speed_true) < 0.5
+    assert abs((sol.vel.course_deg - course_true + 180) % 360 - 180) < 3.0
+
+    # ... and out the NMEA port: RMC/VTG carry speed (knots) + course
+    from tpu_gnss.cli import nmea_out
+    burst = nmea_out.solution_burst(sol)
+    rmc = next(s for s in burst if s.startswith("$GPRMC"))
+    vtg = next(s for s in burst if s.startswith("$GPVTG"))
+    rmc_f = rmc.split("*")[0].split(",")
+    knots, course = float(rmc_f[7]), float(rmc_f[8])
+    assert abs(knots - speed_true * 3600.0 / 1852.0) < 1.0
+    assert abs((course - course_true + 180) % 360 - 180) < 3.0
+    vtg_f = vtg.split("*")[0].split(",")
+    assert abs(float(vtg_f[7]) - speed_true * 3.6) < 1.8  # km/h field
+
+
+@pytest.mark.slow
+def test_wide_offset_replay_to_fix(tmp_path):
+    """The reference's replay personality end-to-end (VERDICT r3 #4):
+    a multi-SV scene through the software RF channel with a 60 kHz
+    TX/RX oscillator offset (reference README.md §2.1e: replayed
+    captures need max_fo=100000), re-captured as a 1-bit IF file, must
+    acquire on the +-100 kHz grid, track with IF-offset-corrected
+    seeds, and produce a < 15 m fix."""
+    from tpu_gnss.io import loaders
+    from tpu_gnss.io.stream import FileSource1Bit
+    from tpu_gnss.signal import rfchannel
+    from tpu_gnss.signal.synth import baseband_to_1bit_if
+
+    offset_hz = 60e3
+    iq, ephs, rx = build_scene(duration=20.0, n_sv=6, noise=0.5)
+    rxed = rfchannel.apply_channel(iq, FS, freq_offset_hz=offset_hz,
+                                   delay_samples=777.0, gain=1.3)
+    fc = FS / 4
+    bits = baseband_to_1bit_if(rxed, fc, FS)
+    path = tmp_path / "replay_1bit.bin"
+    path.write_bytes(loaders.pack_1bit(bits))
+
+    cfg = ReceiverConfig(fs=FS, fc=fc, max_fo=100000.0, fft_len=4096,
+                         snr_threshold=17.0)
+    recv = Receiver(cfg)
+    res = recv.process_source(FileSource1Bit(str(path), cfg))
+    assert len(res.detections) >= 4, res.detections
+    # every detection carries the common oscillator offset
+    meds = np.median([d["doppler_hz"] for d in res.detections])
+    assert abs(meds - offset_hz) < 2000.0, meds
+    assert abs(recv._if_offset - offset_hz) < 2000.0, \
+        "auto IF-offset estimate missed"
+    decoded = [r for r in res.channels if r.eph.valid()]
+    assert len(decoded) >= 4, f"only {len(decoded)} ephemerides decoded"
+    assert res.solutions, "no fix through the wide-offset replay chain"
+    sol = res.solutions[-1]
+    err = np.linalg.norm(np.array([sol.x, sol.y, sol.z]) - np.array(rx))
+    assert err < 15.0, f"replay fix error {err:.1f} m"
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("ramp_hz_s", [5.0])
+def test_doppler_ramp_high_dynamics(ramp_hz_s):
+    """High-dynamics stress (VERDICT r3 #6): a common carrier-Doppler
+    ramp (oscillator drift rate / acceleration upper bound for a
+    ground-static sky) must not break lock or the fix at the default
+    100 Hz loop-update rate."""
+    iq, ephs, rx = build_scene(duration=20.0, n_sv=6,
+                               doppler_ramp_hz_s=ramp_hz_s)
+    cfg = ReceiverConfig(fs=FS, fc=FS / 4, max_fo=5000.0, fft_len=4096,
+                         snr_threshold=20.0)
+    res = Receiver(cfg).process_iq(iq)
+    assert res.solutions, f"no fix under a {ramp_hz_s} Hz/s Doppler ramp"
+    sol = res.solutions[-1]
+    assert sol.snap_epoch >= 16000, "late-capture fixes missing (lock lost?)"
+    err = np.linalg.norm(np.array([sol.x, sol.y, sol.z]) - np.array(rx))
+    assert err < 15.0, f"ramp fix error {err:.1f} m"

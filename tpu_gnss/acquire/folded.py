@@ -351,7 +351,24 @@ def acquire_refined_mxu(samples: jnp.ndarray, cw_r: jnp.ndarray,
     n_dop = dops_hz.shape[0]
     snr_grid = (pk / (tt / period))[0, :, :n_dop]      # [sv, dop]
     centers = dops_hz[snr_grid.argmax(axis=-1)]        # [sv]
+    return _refine_from_centers(blocks, code_ffts_p, centers, dops_hz,
+                                fs=fs, n_coherent=n_coherent,
+                                period=period, nf=nf)
 
+
+def _refine_from_centers(blocks: jnp.ndarray, code_ffts_p: jnp.ndarray,
+                         centers: jnp.ndarray, dops_hz: jnp.ndarray, *,
+                         fs: float, n_coherent: int, period: int,
+                         nf: int) -> jnp.ndarray:
+    """±2-bin window re-correlation + parabolic refine around per-SV
+    Doppler ``centers``; returns stacked ``[3, n_sv]`` (snr, dop, ca).
+
+    The second half of :func:`acquire_refined_mxu`, shared with the
+    mesh-sharded cold search (tpu_gnss.dist.shard.acquire_refined_sharded)
+    so single-device and distributed cold starts use the identical
+    refinement arithmetic.
+    """
+    n_dop = dops_hz.shape[0]
     n_sv = code_ffts_p.shape[0]
     step = (dops_hz[1] - dops_hz[0]) if n_dop > 1 else jnp.float32(1.0)
     offs = (jnp.arange(5, dtype=jnp.float32) - 2.0) * step
@@ -705,12 +722,44 @@ class FoldedSearcher:
         samples, from_bits = self._prep(bits, iq, n_noncoherent)
         cw_r, cw_i = self.mxu_code_planes()
         interp = jax.devices()[0].platform not in ("tpu", "axon")
-        snr, dop, ca = np.asarray(acquire_refined_mxu(
+        stacked = acquire_refined_mxu(
             samples, cw_r, cw_i, self.code_ffts_p, self.dops_hz,
             fs=self.cfg.fs, lo_rate=self.cfg.lo_rate,
             n_coherent=self.n_coherent, n_noncoherent=n_noncoherent,
             dop_chunk=self.dop_chunk, from_bits=from_bits,
-            period=self.period, nf=self.nf, interpret=interp))
+            period=self.period, nf=self.nf, interpret=interp)
+        return self._dets_from_stack(stacked, skip_prns)
+
+    def detections_refined_sharded(self, bits=None, iq=None,
+                                   n_noncoherent: int = 1,
+                                   skip_prns=(), mesh=None) -> list[dict]:
+        """Mesh-sharded cold search, same decisions as the fast path.
+
+        The fused-kernel grid reduce is Doppler-sharded over
+        ``mesh['dop']`` and the refinement arithmetic is shared with
+        :meth:`detections_refined_fast`
+        (tpu_gnss.dist.shard.acquire_refined_sharded) — the distributed
+        receiver's cold/re-acquisition engine (the reference's whole
+        search task on one processor, c/main.cpp:66, spread over the
+        mesh instead).
+        """
+        from ..dist.shard import acquire_refined_sharded, pad_dops
+        samples, from_bits = self._prep(bits, iq, n_noncoherent)
+        cw_r, cw_i = self.mxu_code_planes()
+        interp = jax.devices()[0].platform not in ("tpu", "axon")
+        dops_pad = jnp.asarray(pad_dops(np.asarray(self.dops_hz),
+                                        mesh.shape["dop"], self.dop_chunk))
+        stacked = acquire_refined_sharded(
+            samples, cw_r, cw_i, self.code_ffts_p, dops_pad, mesh=mesh,
+            fs=self.cfg.fs, lo_rate=self.cfg.lo_rate,
+            n_coherent=self.n_coherent, n_noncoherent=n_noncoherent,
+            dop_chunk=self.dop_chunk, period=self.period, nf=self.nf,
+            from_bits=from_bits, interpret=interp)
+        return self._dets_from_stack(stacked, skip_prns)
+
+    def _dets_from_stack(self, stacked, skip_prns=()) -> list[dict]:
+        """Threshold a ``[3, n_sv]`` (snr, dop, ca) device stack."""
+        snr, dop, ca = np.asarray(stacked)
         out = []
         for i, prn in enumerate(self.cfg.prns):
             # NaN-safe inclusion test: a degenerate (e.g. all-zero) head

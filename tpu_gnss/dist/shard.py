@@ -131,6 +131,66 @@ def acquire_folded_sharded(blocks: jnp.ndarray, cw_r: jnp.ndarray,
     return fn(blocks, cw_r, cw_i, dops_hz)
 
 
+def make_tracker_sharded(*, mesh: Mesh, axis: str = "blk", fs: float,
+                         pll_gains, dll_gains, epochs_per_step: int = 1,
+                         have_code_ffts: bool = False,
+                         agc_thresholds=None, use_pallas=None):
+    """Build a reusable channel-sharded tracking step.
+
+    Returns ``fn(samples, state, code_tables, code_ffts_or_None,
+    aid_offset_hz) -> (state, EpochOut)``.  Building once and calling
+    per chunk keeps the shard_map trace cached — constructing a fresh
+    closure per chunk would re-trace the whole scan every time (the
+    streaming receiver calls this at the chunk rate).
+
+    ``aid_offset_hz`` is a traced operand (replicated scalar) so the
+    replay oscillator-offset estimate can change without retracing.
+    """
+    from ..track.channel import track_epochs
+
+    def body(samples, state, tables, *rest):
+        if have_code_ffts:
+            code_ffts_l, aid = rest
+        else:
+            (aid,) = rest
+            code_ffts_l = None
+        return track_epochs(samples, state, tables, fs=fs,
+                            pll_gains=pll_gains, dll_gains=dll_gains,
+                            epochs_per_step=epochs_per_step,
+                            code_ffts=code_ffts_l,
+                            agc_thresholds=agc_thresholds,
+                            use_pallas=use_pallas,
+                            aid_offset_hz=aid)
+
+    fn_cache: dict = {}
+
+    def run(samples, state, code_tables, code_ffts=None,
+            aid_offset_hz=0.0):
+        n_dev = mesh.shape[axis]
+        n_chan = code_tables.shape[0]
+        assert n_chan % n_dev == 0, (n_chan, n_dev)
+        aid = jnp.float32(aid_offset_hz)
+        extra = ((code_ffts, aid) if have_code_ffts else (aid,))
+        key = samples.shape
+        fn = fn_cache.get(key)
+        if fn is None:
+            state_spec = jax.tree.map(lambda _: P(axis), state)
+            out_spec = jax.tree.map(
+                lambda _: P(None, axis),
+                jax.eval_shape(body, samples, state, code_tables,
+                               *extra)[1])
+            extra_specs = ((P(axis), P()) if have_code_ffts else (P(),))
+            fn = jax.jit(jax.shard_map(
+                body, mesh=mesh,
+                in_specs=(P(), state_spec, P(axis)) + extra_specs,
+                out_specs=(state_spec, out_spec),
+                check_vma=False))
+            fn_cache[key] = fn
+        return fn(samples, state, code_tables, *extra)
+
+    return run
+
+
 def track_epochs_sharded(samples: jnp.ndarray, state, code_tables, *,
                          mesh: Mesh, axis: str = "blk", fs: float,
                          pll_gains, dll_gains):
@@ -143,28 +203,69 @@ def track_epochs_sharded(samples: jnp.ndarray, state, code_tables, *,
     slices (reference: c/gps.h:17; fabric utilization
     "Homemade GPS Receiver.html":57).
 
-    n_chan must divide by mesh.shape[axis].
+    n_chan must divide by mesh.shape[axis].  One-shot wrapper around
+    :func:`make_tracker_sharded` (streaming callers build the tracker
+    once instead).
     """
-    from ..track.channel import track_epochs
+    run = make_tracker_sharded(mesh=mesh, axis=axis, fs=fs,
+                               pll_gains=pll_gains, dll_gains=dll_gains)
+    return run(samples, state, code_tables)
 
-    n_dev = mesh.shape[axis]
-    n_chan = code_tables.shape[0]
-    assert n_chan % n_dev == 0, (n_chan, n_dev)
 
-    def body(samples, state, tables):
-        return track_epochs(samples, state, tables, fs=fs,
-                            pll_gains=pll_gains, dll_gains=dll_gains)
+@functools.partial(jax.jit,
+                   static_argnames=("mesh", "fs", "lo_rate", "n_coherent",
+                                    "n_noncoherent", "dop_chunk", "period",
+                                    "nf", "from_bits", "interpret"))
+def acquire_refined_sharded(samples: jnp.ndarray, cw_r: jnp.ndarray,
+                            cw_i: jnp.ndarray, code_ffts_p: jnp.ndarray,
+                            dops_pad: jnp.ndarray, *, mesh: Mesh, fs: float,
+                            lo_rate: float, n_coherent: int,
+                            n_noncoherent: int = 1, dop_chunk: int = 64,
+                            period: int = 0, nf: int = 0,
+                            from_bits: bool = True,
+                            interpret: bool = False) -> jnp.ndarray:
+    """Doppler-sharded one-round-trip cold search: kernel grid + refine.
 
-    state_spec = jax.tree.map(lambda _: P(axis), state)
-    out_spec = jax.tree.map(lambda _: P(None, axis),
-                            jax.eval_shape(body, samples, state,
-                                           code_tables)[1])
+    The mesh version of :func:`tpu_gnss.acquire.folded.acquire_refined_mxu`
+    — each device reduces its contiguous Doppler slice through the fused
+    MXU kernel, the per-bin SNR rows are all-gathered (ascending-Doppler
+    order, so the argmax tie-break matches the single-device scan), and
+    the ±2-bin window refinement (`_refine_from_centers`, the SAME
+    arithmetic as single-device) runs replicated.  Returns the stacked
+    ``[3, n_sv]`` (snr, doppler_hz, ca_shift) — one host fetch.
+
+    ``dops_pad`` must divide by mesh['dop'] in whole ``dop_chunk`` units
+    (use :func:`pad_dops`); padding replays the last bin and cannot win
+    the first-max argmax.
+    """
+    from ..acquire.folded import _corr_reduce_grid_mxu, _refine_from_centers
+    ndev = mesh.shape["dop"]
+    assert dops_pad.shape[0] % (ndev * dop_chunk) == 0
+
+    def body(samples, cw_r, cw_i, code_ffts_p, dops_local, dops_full):
+        iq = (mix_baseband(samples, lo_rate) if from_bits
+              else samples.astype(jnp.complex64))
+        block = n_coherent * period
+        blocks = iq[: n_noncoherent * block].reshape(n_noncoherent, block)
+        pk, lg, tt = _corr_reduce_grid_mxu(
+            blocks, cw_r, cw_i, dops_local, fs=fs, n_coherent=n_coherent,
+            dop_chunk=dop_chunk, period=period, nf=nf, interpret=interpret,
+            accumulate=True)
+        nd_local = dops_local.shape[0]
+        snr_local = (pk / (tt / period))[0, :, :nd_local]  # [sv, nd_local]
+        snr_g = jax.lax.all_gather(snr_local, "dop", axis=1, tiled=True)
+        centers = dops_full[jnp.argmax(snr_g, axis=-1)]
+        return _refine_from_centers(blocks, code_ffts_p, centers,
+                                    dops_full, fs=fs,
+                                    n_coherent=n_coherent,
+                                    period=period, nf=nf)
+
     fn = jax.shard_map(
         body, mesh=mesh,
-        in_specs=(P(), state_spec, P(axis)),
-        out_specs=(state_spec, out_spec),
+        in_specs=(P(), P(), P(), P(), P("dop"), P()),
+        out_specs=P(),
         check_vma=False)
-    return fn(samples, state, code_tables)
+    return fn(samples, cw_r, cw_i, code_ffts_p, dops_pad, dops_pad)
 
 
 @functools.partial(jax.jit,

@@ -75,6 +75,11 @@ class ChannelRecord:
     last_tow: Optional[int] = None
     cn0_dbhz: Optional[float] = None
     code_lock: Optional[float] = None   # prompt/sides ratio, last chunk
+    # (end_epoch, ratio) per drained chunk: the solver samples the
+    # ratio at its snapshot epoch instead of gating an old snapshot on
+    # the FINAL chunk's lock state (a channel that degraded late must
+    # not retroactively veto earlier, healthy snapshots)
+    code_lock_hist: list = dataclasses.field(default_factory=list)
     lost: bool = False
     n_epochs: int = 0
     trim_epochs: int = 0          # epochs dropped from the history front
@@ -162,6 +167,23 @@ class ChannelRecord:
             return np.empty(0, np.float32)
         return np.concatenate(parts[::-1])[-n:]
 
+    def code_lock_at(self, e_local: int) -> Optional[float]:
+        """Code-lock ratio of the chunk containing channel epoch e_local.
+
+        Returns None when no contemporaneous measurement exists (the
+        snapshot predates the history or trails the last drained chunk
+        by more than one chunk) — callers skip the gate then.
+        """
+        import bisect
+        h = self.code_lock_hist
+        if not h:
+            return self.code_lock
+        i = bisect.bisect_left(h, e_local, key=lambda t: t[0])
+        if i < len(h):
+            return h[i][1]
+        span = h[-1][0] - (h[-2][0] if len(h) > 1 else 0)
+        return h[-1][1] if e_local - h[-1][0] <= max(span, 1) else None
+
     @property
     def ip_hist(self) -> np.ndarray:
         return self.hist("ip")
@@ -213,7 +235,9 @@ class Receiver:
                  raim_residual_m: float = 500.0,
                  max_history_s: Optional[float] = None,
                  probation_s: float = 30.0,
-                 code_lock_gate: float = 1.3):
+                 code_lock_gate: float = 1.3,
+                 if_offset_hz="auto",
+                 mesh=None):
         self.cfg = cfg
         self.searcher = FoldedSearcher(cfg, n_coherent=n_coherent)
         t_s = epochs_per_step * 1e-3
@@ -269,6 +293,37 @@ class Receiver:
         # code-lock gate on the chunk-mean prompt/sides ratio (~2 when
         # centered on the peak, ~1 when the DLL slipped off)
         self.code_lock_gate = code_lock_gate
+        # replay-capture oscillator offset (the reason the reference
+        # searches replayed captures at max_fo=100000, README.md §2.1e):
+        # a common carrier offset that does NOT scale the code rate.
+        # "auto" estimates it from the median cold-start Doppler when
+        # that median is implausibly large for sky motion (>10 kHz);
+        # a float pins it; 0.0 disables.  It feeds (a) the code-rate
+        # seed/aiding split and (b) the velocity solve's Doppler input.
+        self.if_offset_hz = if_offset_hz
+        self._if_offset = (0.0 if if_offset_hz == "auto"
+                           else float(if_offset_hz))
+        self._if_offset_locked = if_offset_hz != "auto"
+        # distributed mode: a jax.sharding.Mesh with a "dop" axis.  The
+        # SAME streaming receiver then runs its heavy stages on the mesh
+        # — cold/re-acquisition Doppler-sharded through the fused kernel
+        # and the tracking bank channel-sharded — with NAV+PVT on host,
+        # the whole-system integration the reference runs across its
+        # two processors (c/main.cpp:66-68 task zoo over the SPI link).
+        # n_channels must divide the mesh device count.
+        self.mesh = mesh
+        self._tracker_sharded = None
+        if mesh is not None:
+            assert "dop" in mesh.axis_names, \
+                "receiver mesh needs a 'dop' axis (used for both the " \
+                "Doppler grid and the channel bank)"
+            from .dist import shard as dshard
+            self._tracker_sharded = dshard.make_tracker_sharded(
+                mesh=mesh, axis="dop", fs=cfg.fs,
+                pll_gains=self.pll_gains, dll_gains=self.dll_gains,
+                epochs_per_step=epochs_per_step,
+                have_code_ffts=fft_correlator,
+                agc_thresholds=self.agc_thresholds)
 
     # ------------------------------------------------------------------
     def _cold_detections(self, head, bits: bool = False,
@@ -289,9 +344,15 @@ class Receiver:
             import jax
             engine = ("mxu" if jax.devices()[0].platform in ("tpu", "axon")
                       and self.searcher.mxu_supported() else "xla")
+        if self.mesh is not None and self.searcher.mxu_supported():
+            engine = "mxu_sharded"
         kw = dict(bits=head) if bits else dict(iq=head)
 
         def run(n_nc):
+            if engine == "mxu_sharded":
+                return self.searcher.detections_refined_sharded(
+                    **kw, n_noncoherent=n_nc, skip_prns=skip_prns,
+                    mesh=self.mesh)
             if engine == "mxu":
                 return self.searcher.detections_refined_fast(
                     **kw, n_noncoherent=n_nc, skip_prns=skip_prns)
@@ -380,13 +441,27 @@ class Receiver:
         # serializing with them — the deepest version of the reference's
         # SPI request/response pipelining (c/spi.cpp:34-53).  Items on
         # the queue are (host_blk, device_seg, n_ep, n_samp).
-        xfer_state = {"sample0": 0}
+        xfer_state = {"sample0": 0, "skipped_bytes": 0}
+        # --max-lag skip-ahead keeps the LO mix phase aligned with the
+        # TRUE file sample index: the follow reader reports skipped
+        # bytes, and the upload counter advances by the elided samples
+        # (8 samples/byte on the 1-bit paths, where sample0 drives the
+        # mix phase).  Without this, every skip permanently offsets the
+        # device LO phase from the capture's.
+        skip_reader = (getattr(source, "reader", None)
+                       if (use_packed or use_bits) else None)
 
         def upload(blk):
             n_samp = n_samples(blk)
             n_ep = (n_samp // p // eps) * eps
             if n_ep == 0:
                 return (blk, None, 0, n_samp)
+            if skip_reader is not None:
+                sk = skip_reader.skipped_bytes
+                if sk > xfer_state["skipped_bytes"]:
+                    xfer_state["sample0"] += \
+                        8 * (sk - xfer_state["skipped_bytes"])
+                    xfer_state["skipped_bytes"] = sk
             s0 = xfer_state["sample0"]
             xfer_state["sample0"] = s0 + n_ep * p
             with METRICS.stage("receiver.transfer"):
@@ -406,8 +481,29 @@ class Receiver:
                     seg = self._transfer(blk[: n_ep * p], use_bits, s0)
             return (blk, seg, n_ep, n_samp)
 
-        blocks = iter(Prefetcher(source, chunk_len, mode=mode,
-                                 transform=upload))
+        prefetcher = Prefetcher(source, chunk_len, mode=mode,
+                                transform=upload)
+        try:
+            return self._stream_loop(
+                iter(prefetcher), source, n_samples, p, eps,
+                use_packed=use_packed, use_bits=use_bits,
+                use_rawiq=use_rawiq, max_duration_s=max_duration_s,
+                max_channels=max_channels,
+                warm_ephemerides=warm_ephemerides,
+                on_solution=on_solution)
+        finally:
+            # release the pump thread + its queued device buffers + the
+            # open capture on EVERY exit path (early max_duration_s
+            # break, exceptions, clean EOF)
+            prefetcher.stop()
+
+    def _stream_loop(self, blocks, source, n_samples, p, eps, *,
+                     use_packed, use_bits, use_rawiq, max_duration_s,
+                     max_channels, warm_ephemerides, on_solution):
+        """Streaming body of :meth:`process_source`, split out so the
+        caller's try/finally can stop the prefetcher on every exit."""
+        from .utils.metrics import METRICS
+        cfg = self.cfg
 
         with METRICS.stage("receiver.read"):
             first_item = next(blocks, None)
@@ -418,6 +514,11 @@ class Receiver:
             "chunk_s too small for the acquisition block"
 
         n_chan = max_channels or cfg.num_chans
+        if self.mesh is not None:
+            n_dev = self.mesh.shape["dop"]
+            assert n_chan % n_dev == 0, (
+                f"distributed mode: n_channels ({n_chan}) must divide by "
+                f"the mesh device count ({n_dev}); pass max_channels")
         state = tc.init_state(n_chan)
         slot_prns = [None] * n_chan   # channel slot -> PRN (None = free)
         live: dict = {}      # channel slot -> active ChannelRecord
@@ -450,6 +551,14 @@ class Receiver:
             """
             nonlocal state
             from .constants import L1_HZ
+            if not self._if_offset_locked and dets:
+                # one-shot oscillator-offset estimate: sky Doppler is
+                # within ~±5 kHz, so a large common component can only
+                # be the replay TX/RX offset (README.md §2.1e)
+                med = float(np.median([d["doppler_hz"] for d in dets]))
+                if abs(med) > 10e3:
+                    self._if_offset = med
+                self._if_offset_locked = True
             dt = (epoch_now - epoch_searched) * 1e-3
             free = [ch for ch in range(n_chan) if ch not in live]
             tracked = {r.prn for r in live.values()}
@@ -458,11 +567,13 @@ class Receiver:
                 if d["prn"] in tracked or not free:
                     continue
                 ch = free.pop(0)
-                rate = CHIP_RATE_HZ * (1.0 + d["doppler_hz"] / L1_HZ)
+                motion_dop = d["doppler_hz"] - self._if_offset
+                rate = CHIP_RATE_HZ * (1.0 + motion_dop / L1_HZ)
                 code_phase = (d["ca_shift"] * CHIP_RATE_HZ / cfg.fs
                               + rate * dt) % CODE_LEN_CHIPS
                 state = tc.start_channel(state, ch, d["doppler_hz"],
-                                         code_phase)
+                                         code_phase,
+                                         code_doppler_hz=motion_dop)
                 slot_prns[ch] = d["prn"]
                 rec = ChannelRecord(ch=ch, prn=d["prn"],
                                     start_epoch=epoch_now,
@@ -533,6 +644,9 @@ class Receiver:
                                      float(elp[2, r.ch]))
                     side = max(0.5 * (e_m + l_m), 1e-30)
                     r.code_lock = p_m / side
+                    r.code_lock_hist.append((r.n_epochs, r.code_lock))
+                    if len(r.code_lock_hist) > 4096:   # ~hours of chunks
+                        del r.code_lock_hist[:2048]
                 # watchdog: free dead channels + their slots (SignalLost)
                 self._watchdog([r for r in snapshot if not r.lost])
                 stopped = False
@@ -659,12 +773,17 @@ class Receiver:
                 reacq_job = launch_reacq(blk, n_dispatched)
             tables, code_ffts = self._tables_for(tuple(slot_prns), n_chan)
             with METRICS.stage("receiver.track"):
-                state, out = tc.track_epochs(
-                    seg, state, tables, fs=cfg.fs,
-                    pll_gains=self.pll_gains, dll_gains=self.dll_gains,
-                    epochs_per_step=eps,
-                    code_ffts=code_ffts,
-                    agc_thresholds=self.agc_thresholds)
+                if self._tracker_sharded is not None:
+                    state, out = self._tracker_sharded(
+                        seg, state, tables, code_ffts, self._if_offset)
+                else:
+                    state, out = tc.track_epochs(
+                        seg, state, tables, fs=cfg.fs,
+                        pll_gains=self.pll_gains, dll_gains=self.dll_gains,
+                        epochs_per_step=eps,
+                        code_ffts=code_ffts,
+                        agc_thresholds=self.agc_thresholds,
+                        aid_offset_hz=self._if_offset)
                 out_dev, elp_dev = _pack_out(out)
                 try:
                     # start the device->host copy immediately; the
@@ -954,8 +1073,8 @@ class Receiver:
                     continue
                 if cn0 == cn0 and cn0 < self.cn0_gate_dbhz:
                     continue
-                if (r.code_lock is not None
-                        and r.code_lock < self.code_lock_gate):
+                cl = r.code_lock_at(e_local)
+                if cl is not None and cl < self.code_lock_gate:
                     continue
             subs = {s["a_edge"]: s for s in r.archived_subframes
                     if s.get("a_edge") is not None}
@@ -1021,7 +1140,10 @@ class Receiver:
                                  cn0_dbhz=r_x.cn0_dbhz, used=False))
         # Doppler velocity solve at the converged position (VTG analog;
         # beyond the reference, which never computes velocity)
-        dops = np.asarray(dops)
+        # the tracked carrier frequency minus the receiver-applied IF
+        # offset is the motion Doppler solve_velocity expects; residual
+        # estimate error lands in its clock-drift unknown
+        dops = np.asarray(dops) - self._if_offset
         if np.all(np.isfinite(dops)):
             try:
                 sol.vel = pvt.solve_velocity(

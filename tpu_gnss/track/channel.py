@@ -87,14 +87,26 @@ def init_state(n_chan: int) -> ChannelState:
 
 
 def start_channel(state: ChannelState, ch: int, doppler_hz: float,
-                  code_phase_chips: float) -> ChannelState:
+                  code_phase_chips: float,
+                  code_doppler_hz: Optional[float] = None) -> ChannelState:
     """Seed one channel from an acquisition result.
 
     ``code_phase_chips``: code phase (advance) at the first sample the
     tracker will see — from acquisition, ``ca_shift * CHIP_RATE/fs`` plus
     whole-block drift.  Doppler-scaled code rate seeding mirrors the
     reference's channel start (reference: c/channel.cpp:144-149).
+
+    ``code_doppler_hz``: the MOTION part of the detected Doppler, used
+    for the code-rate seed.  Defaults to ``doppler_hz``; pass
+    ``doppler_hz - if_offset`` for replay captures where a common TX/RX
+    oscillator offset (tens of kHz, reference README.md §2.1e) shifts
+    the carrier without scaling the code rate — seeding the code NCO
+    from the raw detected Doppler would then miss by
+    ``offset * CHIP_RATE/L1`` chips/s (~32 chips/s at 50 kHz), far
+    outside the DLL's pull-in.
     """
+    if code_doppler_hz is None:
+        code_doppler_hz = doppler_hz
     upd = lambda a, v: a.at[ch].set(jnp.float32(v))
     return state._replace(
         active=state.active.at[ch].set(True),
@@ -105,7 +117,7 @@ def start_channel(state: ChannelState, ch: int, doppler_hz: float,
         dll_acc=upd(state.dll_acc, 0.0),
         carrier_freq=upd(state.carrier_freq, doppler_hz),
         code_dev=upd(state.code_dev,
-                     CHIP_RATE_HZ * doppler_hz / L1_HZ),
+                     CHIP_RATE_HZ * code_doppler_hz / L1_HZ),
         pwr_avg=upd(state.pwr_avg, 0.0),
         ip_prev=upd(state.ip_prev, 0.0),
         qp_prev=upd(state.qp_prev, 0.0),
@@ -127,7 +139,8 @@ def track_epochs(samples: jnp.ndarray, state: ChannelState,
                  epochs_per_step: int = 1,
                  code_ffts: Optional[jnp.ndarray] = None,
                  agc_thresholds: Optional[tuple[float, float]] = None,
-                 use_pallas: Optional[bool] = None
+                 use_pallas: Optional[bool] = None,
+                 aid_offset_hz=0.0
                  ) -> tuple[ChannelState, EpochOut]:
     """Run the channel bank over a span of complex baseband samples.
 
@@ -146,15 +159,27 @@ def track_epochs(samples: jnp.ndarray, state: ChannelState,
       epochs_per_step: correlate this many 1 ms epochs per loop update
         (discriminators average over them).  Correlator outputs stay
         per-epoch, so NAV decode is unaffected; the loop update rate
-        drops to 1000/epochs_per_step Hz — keep it >= ~10x the loop
-        bandwidths.  Values > 1 amortize sequential-step overhead on
-        backends where scan iterations are expensive.
+        drops to 1000/epochs_per_step Hz.  Measured tolerance (swept in
+        tests/test_track.py::test_doppler_ramp_tolerance): because the
+        gains scale with t_s, the 100/200/500 Hz update rates realize
+        the same continuous-time loop and all hold lock through carrier
+        ramps >= 120 Hz/s — ~25x any ground-static sky dynamics — with
+        only the deterministic 2nd-order ramp lag (~2*pi*ramp/wn^2 rad
+        of phase).  The practical bound is update rate >= ~5x the PLL
+        bandwidth (the default 100 Hz / 18 Hz = 5.5x is fine); below
+        that the discrete loop loses phase margin.  Values > 1 amortize
+        sequential-step overhead on backends where scan iterations are
+        expensive.
       agc_thresholds: optional ``(lo, hi)`` on the running prompt power
         average ``pwr_avg``.  When the average rises above ``hi`` the
         Costas discriminator gain is halved until it falls back below
         ``lo`` — the reference's strong-signal AGC with hysteresis
         (reference: c/channel.cpp:265-288, thresholds 1200^2/1400^2 in
         its fixed-point scale).  ``None`` disables the AGC.
+      aid_offset_hz: carrier frequency NOT attributable to motion (a
+        common TX/RX oscillator offset on replay captures), subtracted
+        before the carrier-aiding scale to CHIP_RATE/L1.  Traced scalar
+        — changing the value does not retrace.
       use_pallas: route the FFT-dot correlator through the fused MXU
         kernel (tpu_gnss.ops.mxu_track) — wipe, forward DFT, spectrum
         product and E/P/L taps per (channel, epoch) row in VMEM, which
@@ -392,8 +417,12 @@ def track_epochs(samples: jnp.ndarray, state: ChannelState,
             st.carrier_freq)
 
         dll_acc = st.dll_acc + jnp.where(st.active, dll_k2 * dll_err, 0.0)
+        # aiding uses the MOTION Doppler: a common oscillator offset
+        # (replay captures, reference README.md §2.1e) sits on the
+        # carrier but not the code rate — ``aid_offset_hz`` removes it
         aid = jnp.where(jnp.bool_(carrier_aiding),
-                        carrier_freq / L1_HZ * CHIP_RATE_HZ, 0.0)
+                        (carrier_freq - aid_offset_hz)
+                        / L1_HZ * CHIP_RATE_HZ, 0.0)
         code_dev = jnp.where(
             st.active,
             aid + dll_k1 * dll_err + dll_acc,
