@@ -404,3 +404,27 @@ def test_doppler_ramp_high_dynamics(ramp_hz_s):
     assert sol.snap_epoch >= 16000, "late-capture fixes missing (lock lost?)"
     err = np.linalg.norm(np.array([sol.x, sol.y, sol.z]) - np.array(rx))
     assert err < 15.0, f"ramp fix error {err:.1f} m"
+
+
+@pytest.mark.slow
+def test_warm_hot_start_fix_from_how_anchor(scene):
+    """A warm receiver (checkpointed ephemerides) anchors transmit time
+    on a preamble + parity-valid TLM/HOW pair BEFORE the full subframe
+    arrives (nav/bits.partial_anchors): 6 s of capture — the first
+    complete subframe ends at ~7.5 s of scene time, so full-subframe
+    anchoring CANNOT fix here — must already produce a fix."""
+    iq, ephs, rx = scene
+    warm = {k + 2: e for k, e in enumerate(ephs)}
+    cfg = ReceiverConfig(fs=FS, fc=FS / 4, max_fo=5000.0, fft_len=4096,
+                         snr_threshold=20.0)
+    short = iq[: int(6.0 * FS)]
+    res = Receiver(cfg).process_iq(short)
+    assert not res.solutions  # cold: no ephemeris, no anchors
+    from tpu_gnss.io.stream import ArraySource
+    warm_res = Receiver(cfg).process_source(ArraySource(short, FS),
+                                            warm_ephemerides=warm)
+    assert warm_res.solutions, \
+        "warm start must fix from the HOW anchor before the subframe ends"
+    sol = warm_res.solutions[-1]
+    err = np.linalg.norm(np.array([sol.x, sol.y, sol.z]) - np.array(rx))
+    assert err < 150.0, f"hot-start fix error {err:.1f} m"

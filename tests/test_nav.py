@@ -212,3 +212,28 @@ def test_period_grid_bit_sync_immune_to_code_creep():
     # edge chip counts are exact period multiples on the 20-grid
     edges = (r_est + 20 * (b_raw0 + np.arange(span))) * 1023.0
     assert np.all(np.abs(edges / 1023.0 % 20 - r_est % 20) < 1e-9)
+
+
+def test_partial_anchor_from_preamble_how():
+    """partial_anchors: a preamble + parity-valid TLM/HOW at the stream
+    tail yields the TOW anchor before the full subframe exists; corrupt
+    parity or a complete subframe in the buffer yields nothing."""
+    from tpu_gnss.nav import bits as nb
+    from tpu_gnss.nav.ephemeris import encode_subframes
+    from .test_pvt import make_constellation
+
+    eph = make_constellation(1)[0]
+    frames = encode_subframes(eph, tow_start=1000, sids=(1, 2))
+    stream = np.concatenate(frames)
+    # cut 70 bits into subframe 2: preamble + TLM + HOW + a bit more
+    cut = 300 + 70
+    anchors = nb.partial_anchors(stream[:cut])
+    assert len(anchors) == 1
+    assert anchors[0]["start"] == 300
+    assert anchors[0]["tow"] == 1001  # HOW names the NEXT subframe start
+    # parity corruption kills it
+    bad = stream[:cut].copy()
+    bad[300 + 40] ^= 1
+    assert nb.partial_anchors(bad) == []
+    # nothing reported where the full subframe fits (frame_sync's job)
+    assert nb.partial_anchors(stream[:600]) == []

@@ -60,20 +60,36 @@ cfg_1bit = ReceiverConfig(fs=E.FS, fc=fc_if, max_fo=5000.0, fft_len=4096,
 
 # run each path twice: the first pass populates the persistent compile
 # cache (and in-process jit caches); the second measures steady-state —
-# the number that matters for a long-running receiver
-walls, walls_iq = [], []
-for attempt in range(2):
-    recv = Receiver(cfg_1bit)
+# the number that matters for a long-running receiver.  Both passes run
+# with in-stream solving so time-to-first-fix is a first-class number:
+# ttff_cold_s = process start (receiver construction) -> first fix on a
+# cold jit cache; ttff_warm_s = same on the warmed caches.
+walls, ttffs, stage_snaps = [], [], []
+# pass 0: COLD, in-stream solving -> ttff_cold_s (process start to
+#         first fix, jit caches empty beyond the persistent disk cache)
+# pass 1: warm, batch mode      -> the headline steady-state realtime
+# pass 2: warm, in-stream       -> ttff_warm_s at the live cadence
+for attempt, instream in ((0, True), (1, False), (2, True)):
     metrics.METRICS.timings.clear()
     metrics.METRICS.counters.clear()
     t0 = time.perf_counter()
+    first_fix = []
+    cb = (lambda s: first_fix.append(time.perf_counter() - t0)
+          if not first_fix else None) if instream else None
+    recv = Receiver(cfg_1bit)
     res = recv.process_source(FileSource1Bit(bit_path, cfg_1bit),
-                              max_channels=8, chunk_s=4.0)
+                              max_channels=8, chunk_s=4.0, on_solution=cb)
     walls.append(time.perf_counter() - t0)
-    print(f"1bit pass {attempt}: {walls[-1]:.1f}s wall for {duration:.0f}s "
-          f"of capture ({duration/walls[-1]:.2f}x realtime)", flush=True)
-stages_1bit = {k: round(sum(v), 3)
-               for k, v in metrics.METRICS.timings.items()}
+    ttffs.append(first_fix[0] if first_fix else None)
+    stage_snaps.append({k: round(sum(v), 3)
+                        for k, v in metrics.METRICS.timings.items()})
+    print(f"1bit pass {attempt} ({'instream' if instream else 'batch'}): "
+          f"{walls[-1]:.1f}s wall for {duration:.0f}s "
+          f"of capture ({duration/walls[-1]:.2f}x realtime), "
+          f"ttff {ttffs[-1] and round(ttffs[-1], 2)}s", flush=True)
+    print(f"  stages: {stage_snaps[-1]}", flush=True)
+stages_1bit = stage_snaps[1]
+wall_headline = walls[1]
 
 # The complex-IQ path now benches the reference's ACTUAL 8-bit capture
 # format (gps_bin1bit_log2bin.m x100-gain int8 IQ output;
@@ -92,7 +108,12 @@ if not os.path.exists(iq8_path):
     raw.tofile(iq8_path)
 
 iq_results = {}
-for label, dtype in (("int8", "int8"), ("int4", "int4")):
+# the chunk_s=8 int4 row is a fixed-cost probe: if the path were purely
+# link-bound, halving the bytes (int4 vs int8) would ~double realtime;
+# it doesn't, so per-chunk fixed costs bind — doubling the chunk halves
+# the per-chunk count and exposes how much of the floor they are
+for label, dtype, ch_s in (("int8", "int8", 4.0), ("int4", "int4", 4.0),
+                           ("int4_chunk8", "int4", 8.0)):
     walls_iq = []
     for attempt in range(2):
         recv = Receiver(cfg, transfer_dtype=dtype)
@@ -100,7 +121,7 @@ for label, dtype in (("int8", "int8"), ("int4", "int4")):
         metrics.METRICS.counters.clear()
         t0 = time.perf_counter()
         res_iq = recv.process_source(IQFileSource(iq8_path, E.FS),
-                                     max_channels=8, chunk_s=4.0)
+                                     max_channels=8, chunk_s=ch_s)
         walls_iq.append(time.perf_counter() - t0)
         print(f"iq[{label}] pass {attempt}: {walls_iq[-1]:.1f}s wall for "
               f"{duration:.0f}s ({duration/walls_iq[-1]:.2f}x realtime)",
@@ -114,11 +135,13 @@ for label, dtype in (("int8", "int8"), ("int4", "int4")):
         wall_s=round(walls_iq[-1], 2),
         realtime=round(duration / walls_iq[-1], 2),
         detections=[(d["prn"], round(d["snr"])) for d in res_iq.detections],
-        n_solutions=len(res_iq.solutions), fix_error_m=err_iq)
+        n_solutions=len(res_iq.solutions), fix_error_m=err_iq,
+        stages={k: round(sum(v), 3)
+                for k, v in metrics.METRICS.timings.items()})
     print(f"iq[{label}]: {iq_results[label]}", flush=True)
 walls_iq = [iq_results["int8"]["wall_s"]]
 
-wall = walls[-1]
+wall = wall_headline
 print(f"detections: {[(d['prn'], round(d['snr'])) for d in res.detections]}")
 print(f"solutions: {len(res.solutions)}")
 err = None
@@ -134,6 +157,12 @@ artifact = dict(metric="e2e_realtime_factor",
                 value=round(duration / wall, 2), unit="x_realtime",
                 wall_s=round(wall, 2), capture_s=duration,
                 cold_wall_s=round(walls[0], 2),
+                ttff_cold_s=(round(ttffs[0], 2)
+                             if ttffs[0] is not None else None),
+                ttff_warm_s=(round(ttffs[-1], 2)
+                             if ttffs[-1] is not None else None),
+                instream_wall_s=round(walls[-1], 2),
+                stages_cold=stage_snaps[0],
                 input="1bit_if_file_packed_uplink",
                 iq_path_realtime_factor=iq_results["int8"]["realtime"],
                 iq_path_wall_s=iq_results["int8"]["wall_s"],

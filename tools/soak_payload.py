@@ -99,6 +99,28 @@ print(f"memory: peak RSS {rss_mb:.0f} MB (start {rss0_mb:.0f}), "
       f"retained histories {hist_mb:.2f} MB")
 print(metrics.METRICS.report())
 
+# Per-fix diagnostics for error-growth attribution (VERDICT r3 #7):
+# the error time series (trend vs spike), the solver's post-fit
+# residual, satellite count, and the channels' anchor ages at each
+# snapshot — enough to tell drifting pseudoranges (systematic, grows
+# with time) from isolated bad epochs (geometry/outlier).
+fix_series = []
+for s, e in zip(res.solutions, errs):
+    ages = []
+    for r in res.channels:
+        anchors = [a for a in (r.archived_subframes + r.subframes)
+                   if a.get("bit_epoch") is not None
+                   and a["bit_epoch"] + r.start_epoch < s.snap_epoch]
+        if anchors and not r.lost:
+            newest = max(a["bit_epoch"] + r.start_epoch for a in anchors)
+            ages.append(round((s.snap_epoch - newest) * 1e-3, 1))
+    fix_series.append(dict(
+        t_s=round(s.snap_epoch * 1e-3, 1), err_m=round(e, 2),
+        resid_m=round(float(getattr(s, "residual_rms_m", float("nan"))
+                            or float("nan")), 2),
+        n_sats=len(getattr(s, "sats", []) or []),
+        anchor_age_max_s=max(ages) if ages else None))
+
 ok = (reacquired and not missing and errs and max(errs) < 250.0
       and first_fix is not None and first_fix <= 8.0)
 artifact = dict(metric="soak_realtime_factor",
@@ -112,6 +134,7 @@ artifact = dict(metric="soak_realtime_factor",
                 peak_rss_mb=round(rss_mb),
                 rss_after_scene_synth_mb=round(rss_synth_mb),
                 hist_mb=round(hist_mb, 2),
+                fix_series=fix_series,
                 passed=bool(ok))
 out = os.path.join(os.path.dirname(os.path.dirname(
     os.path.abspath(__file__))), "BENCH_soak.json")

@@ -193,6 +193,11 @@ def _worker(argv=None) -> int:
     p.add_argument("--blocks-per-dev", type=int, default=2)
     p.add_argument("--bench-repeats", type=int, default=0,
                    help="also time the sharded engine (bench mode)")
+    p.add_argument("--flagship", action="store_true",
+                   help="run at the reference capture's real shapes "
+                        "(Nottingham: fs=5.456e6, 40000-pt FFT, 136 Hz "
+                        "Doppler bins, 73-bin grid) instead of the tiny "
+                        "test config")
     args = p.parse_args(argv)
 
     initialize(args.coordinator, args.num_processes, args.process_id,
@@ -207,11 +212,19 @@ def _worker(argv=None) -> int:
     # mesh: blk axis spans processes (outer), dop axis intra-process
     mesh = global_mesh(("blk", "dop"), (args.num_processes,
                                         args.cpu_devices))
-    cfg = ReceiverConfig(fs=1.024e6, fc=0.256e6, max_fo=5000.0,
-                         fft_len=2048)
-    searcher = Searcher(cfg, dop_chunk=2)
+    if args.flagship:
+        # the reference gps_test's own geometry (SURVEY §6 golden table:
+        # fs=5.456 MHz, IF=4.092 MHz, 40000-pt window, bin=fs/40000)
+        cfg = ReceiverConfig(fs=5.456e6, fc=4.092e6, max_fo=5000.0,
+                             fft_len=40000)
+        dop_chunk = 8
+    else:
+        cfg = ReceiverConfig(fs=1.024e6, fc=0.256e6, max_fo=5000.0,
+                             fft_len=2048)
+        dop_chunk = 2
+    searcher = Searcher(cfg, dop_chunk=dop_chunk)
     dops = pad_dops(np.arange(-cfg.dop_max_bin, cfg.dop_max_bin + 1,
-                              dtype=np.int32), args.cpu_devices, 2)
+                              dtype=np.int32), args.cpu_devices, dop_chunk)
 
     n_blk = args.num_processes * args.blocks_per_dev
     rng = np.random.default_rng(7)
@@ -222,7 +235,7 @@ def _worker(argv=None) -> int:
 
     snr, lo_shift, ca_shift = acquire_blocks_multihost(
         bits_local, searcher.code_ffts, dops, mesh=mesh,
-        lo_rate=cfg.lo_rate, lags=cfg.lags, dop_chunk=2)
+        lo_rate=cfg.lo_rate, lags=cfg.lags, dop_chunk=dop_chunk)
 
     wall = None
     if args.bench_repeats:
@@ -231,7 +244,7 @@ def _worker(argv=None) -> int:
         for _ in range(args.bench_repeats):
             acquire_blocks_multihost(
                 bits_local, searcher.code_ffts, dops, mesh=mesh,
-                lo_rate=cfg.lo_rate, lags=cfg.lags, dop_chunk=2)
+                lo_rate=cfg.lo_rate, lags=cfg.lags, dop_chunk=dop_chunk)
         wall = (time.perf_counter() - t0) / args.bench_repeats
 
     # --- multi-host channel-parallel TRACKING on a real multi-SV
@@ -244,9 +257,11 @@ def _worker(argv=None) -> int:
     # count (equal per-host state slices); 8 channels at the standard
     # test sizes, scaled up when devices outnumber them
     n_chan = n_total * max(1, 8 // n_total)
+    if args.flagship:
+        n_chan = max(n_chan, 2 * n_total)   # >= 16 channels at 4x2
     mesh_ch = global_mesh(("chan",), (n_total,))
     p_len = round(cfg.fs * 1e-3)
-    n_epochs = 40
+    n_epochs = 200 if args.flagship else 40
     svs = [synth.SvSignal(prn=1 + (3 * ch) % 32,
                           doppler_hz=500.0 * (ch % 5) - 1000.0,
                           code_phase_chips=61.0 * ch % 1023.0)

@@ -197,3 +197,56 @@ def bits_from_prompt_periods(prompt_ip: np.ndarray, periods: np.ndarray,
     ok = (idx >= 0) & (idx < n_bits)
     np.add.at(acc, idx[ok], ip[ok])
     return (acc < 0).astype(np.uint8), first_full
+
+
+def partial_anchors(bits: np.ndarray) -> list[dict]:
+    """TOW anchors from a preamble + parity-valid TLM/HOW pair at the
+    stream TAIL, before the full 300-bit subframe has arrived.
+
+    A warm/hot-started receiver (valid ephemerides from a checkpoint)
+    only needs one TOW to anchor transmit time; waiting for the whole
+    subframe costs ~4.8 extra seconds of live time-to-first-fix.  Real
+    receivers anchor on the HOW exactly like this.  Only positions where
+    the full subframe does NOT fit in ``bits`` are considered — complete
+    subframes are :func:`frame_sync`'s job (and carry ephemeris data).
+
+    False-anchor safety: 8-bit preamble + two parity-valid words is 20
+    checked bits (~1e-6 per position); downstream the anchor still has
+    to win the receiver's 1 ms transmit-time cluster vote against the
+    channel's full-subframe anchors.
+
+    Returns [{start, tow, inverted}] with ``tow`` = the HOW TOW count
+    (time of NEXT subframe start / 6 s — the same convention as
+    :func:`tpu_gnss.nav.ephemeris.tow_count`).
+    """
+    bits = np.asarray(bits, dtype=np.uint8)
+    pre = np.asarray(PREAMBLE, dtype=np.uint8)
+    n = len(bits)
+    out = []
+    i = max(0, n - SUBFRAME_BITS + 1)
+    while i + 2 * WORD_BITS <= n:
+        win = bits[i:i + 8]
+        inverted = None
+        if np.array_equal(win, pre):
+            inverted = False
+        elif np.array_equal(win, 1 - pre):
+            inverted = True
+        if inverted is None:
+            i += 1
+            continue
+        seed = 1 if inverted else 0
+        src1, d29, d30 = decode_word(bits[i:i + WORD_BITS], seed, seed)
+        if src1 is None:
+            i += 1
+            continue
+        src2, _, _ = decode_word(bits[i + WORD_BITS:i + 2 * WORD_BITS],
+                                 d29, d30)
+        if src2 is None:
+            i += 1
+            continue
+        tow = 0
+        for b in src2[:17]:          # HOW word source bits 1..17, MSB first
+            tow = (tow << 1) | int(b)
+        out.append(dict(start=i, tow=tow, inverted=inverted))
+        i += 2 * WORD_BITS
+    return out

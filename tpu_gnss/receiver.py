@@ -16,7 +16,7 @@ N is read, c/spi.cpp:34-53): chunk k's tracking scan is dispatched to the
 device BEFORE chunk k-1's correlator outputs are fetched, so the host's
 decode/bookkeeping overlaps device compute.  Host<->device traffic per
 chunk is one quantized int8 upload (or 1-bit samples for packed captures)
-and one [4, epochs, chan] float32 download — the TPU analog of the
+and one [5, epochs, chan] float32 download — the TPU analog of the
 reference FPGA's integrate-and-dump decimation that hands the Pi 50 bps
 instead of 10 Msps ("Homemade GPS Receiver.html":306).
 
@@ -80,6 +80,9 @@ class ChannelRecord:
     # the FINAL chunk's lock state (a channel that degraded late must
     # not retroactively veto earlier, healthy snapshots)
     code_lock_hist: list = dataclasses.field(default_factory=list)
+    # hot-start TOW anchors from preamble+HOW pairs at the undecoded
+    # stream tail (nav/bits.partial_anchors); rebuilt per decode pass
+    partial_anchors: list = dataclasses.field(default_factory=list)
     lost: bool = False
     n_epochs: int = 0
     trim_epochs: int = 0          # epochs dropped from the history front
@@ -89,27 +92,57 @@ class ChannelRecord:
         default_factory=lambda: {k: [] for k in _HIST_KEYS})
     _cat: dict = dataclasses.field(default_factory=dict)
     _chip_base: float = 0.0       # integrated chips before current chunk
+    _cp_last: Optional[float] = None   # device code phase at last epoch
     _ref_pwr: Optional[float] = None   # watchdog reference power
 
     # ------------------------------------------------------------------
     def append_hist(self, ip: np.ndarray, qp: np.ndarray, cf: np.ndarray,
-                    caf: np.ndarray, t_epoch: float) -> None:
+                    caf: np.ndarray, t_epoch: float,
+                    cp: Optional[np.ndarray] = None) -> None:
         """Append one chunk of per-epoch correlator outputs.
 
         ``cf`` is the tracker's code-rate DEVIATION history (chips/s
-        relative to CHIP_RATE_HZ, tpu_gnss.track.channel.EpochOut) — the
-        absolute rate is reconstructed in float64 for the transmit-time
-        chip integral.
+        relative to CHIP_RATE_HZ, tpu_gnss.track.channel.EpochOut).
+
+        ``cp`` is the tracker's own per-epoch code PHASE (chips mod
+        1023, EpochOut.code_phase).  When given, the transmit-time chip
+        integral is anchored to it: every 1 ms epoch advances exactly
+        one code period plus the wrapped phase difference, so the count
+        inherits the DLL's lock to the signal and per-epoch errors stay
+        bounded at the float32 phase quantization (~6e-5 chips ≈ 2 cm)
+        WITHOUT accumulating.  Integrating the commanded rates instead
+        (the ``cp=None`` fallback) drifts: the device advances its
+        float32 phase with rounding that the DLL absorbs by adjusting
+        later commands, so a float64 integral of those commands walks
+        away from the device's truth-locked phase by the accumulated
+        rounding bias — the ~1.9 m -> 8 m fix-error growth observed
+        between 60 s and 300 s soaks.
         """
         self._chunks["ip"].append(ip)
         self._chunks["qp"].append(qp)
         self._chunks["cf"].append(cf)
         self._chunks["caf"].append(caf)
-        cf64 = np.asarray(cf, np.float64) + CHIP_RATE_HZ
-        chips = (self.code_phase0 + self._chip_base
-                 + np.concatenate([[0.0], np.cumsum(cf64[:-1])]) * t_epoch)
+        if cp is not None:
+            cp64 = np.asarray(cp, np.float64)
+            wrap = lambda x: (x + 511.5) % CODE_LEN_CHIPS - 511.5
+            if self._cp_last is None:
+                # A[0] defined == code_phase0 (cp[0] is its mod-1023
+                # image); later epochs chain off the device phase
+                d = wrap(np.diff(cp64))
+                steps = np.concatenate([[0.0], CODE_LEN_CHIPS + d])
+                chips = self.code_phase0 + np.cumsum(steps)
+            else:
+                d = wrap(np.diff(cp64, prepend=self._cp_last))
+                chips = self._chip_base + np.cumsum(CODE_LEN_CHIPS + d)
+            self._chip_base = float(chips[-1])
+            self._cp_last = float(cp64[-1])
+        else:
+            cf64 = np.asarray(cf, np.float64) + CHIP_RATE_HZ
+            chips = (self.code_phase0 + self._chip_base
+                     + np.concatenate([[0.0],
+                                       np.cumsum(cf64[:-1])]) * t_epoch)
+            self._chip_base += float(cf64.sum()) * t_epoch
         self._chunks["chips"].append(chips)
-        self._chip_base += float(cf64.sum()) * t_epoch
         self.n_epochs += len(ip)
         self._cat.clear()
 
@@ -481,6 +514,35 @@ class Receiver:
                     seg = self._transfer(blk[: n_ep * p], use_bits, s0)
             return (blk, seg, n_ep, n_samp)
 
+        # Pre-build the tracking program while the first chunk is read/
+        # uploaded and cold acquisition compiles+runs: AOT lower+compile
+        # with the known chunk shape seeds the persistent compile cache
+        # (and XLA's in-process cache) so the first real track_epochs
+        # call doesn't serialize a multi-second compile behind
+        # acquisition — a large slice of cold time-to-first-fix.
+        if self.mesh is None:
+            import threading as _th
+
+            def _prewarm(chunk_len=chunk_len, n=(max_channels
+                                                 or cfg.num_chans)):
+                try:
+                    import jax
+                    import jax.numpy as _jnp
+                    tables, code_ffts = self._tables_for((None,) * n, n)
+                    seg_spec = jax.ShapeDtypeStruct((chunk_len,),
+                                                    _jnp.complex64)
+                    tc.track_epochs.lower(
+                        seg_spec, tc.init_state(n), tables, fs=cfg.fs,
+                        pll_gains=self.pll_gains,
+                        dll_gains=self.dll_gains,
+                        epochs_per_step=eps, code_ffts=code_ffts,
+                        agc_thresholds=self.agc_thresholds,
+                        aid_offset_hz=0.0).compile()
+                except Exception:
+                    pass   # prewarm is best-effort; the real call compiles
+
+            _th.Thread(target=_prewarm, daemon=True).start()
+
         prefetcher = Prefetcher(source, chunk_len, mode=mode,
                                 transform=upload)
         try:
@@ -621,9 +683,9 @@ class Receiver:
             # been pulling it since dispatch); bookkeeping is timed
             # separately so the two can't be conflated
             with METRICS.stage("receiver.fetch"):
-                arr, elp = out_fut.result()      # [4, n_ep, n_chan]
+                arr, elp = out_fut.result()      # [5, n_ep, n_chan]
             with METRICS.stage("receiver.drain"):
-                ip, qp, cf, caf = arr
+                ip, qp, cf, caf, cp = arr
                 # skip channels the PREVIOUS drain declared lost (their
                 # slot was stopped; this chunk's column is post-loss
                 # garbage), and copy the column slices — views would pin
@@ -635,7 +697,8 @@ class Receiver:
                                   np.ascontiguousarray(qp[:, r.ch]),
                                   np.ascontiguousarray(cf[:, r.ch]),
                                   np.ascontiguousarray(caf[:, r.ch]),
-                                  t_epoch)
+                                  t_epoch,
+                                  cp=np.ascontiguousarray(cp[:, r.ch]))
                     # code-lock detector input: chunk-mean E/L/P mags
                     # (prompt-vs-sides ratio ~2 when the code sits on
                     # the correlation peak, ~1 when it slipped off)
@@ -1009,6 +1072,23 @@ class Receiver:
                                     bit_epoch=bit_epoch, a_edge=a_edge))
             r.last_subframe_bit = bit_epoch
             r.last_tow = r.eph.tow
+        # Hot-start anchors: once the ephemeris is valid (warm start or
+        # already decoded), a preamble + parity-valid TLM/HOW pair at
+        # the stream tail yields a TOW anchor ~4.8 s before the full
+        # subframe completes — the HOW-anchoring trick real receivers
+        # use to cut hot time-to-first-fix.  Same (tow, a_edge) anchor
+        # convention as full subframes; the solver's cluster vote and
+        # RAIM still gate it.
+        r.partial_anchors = []
+        if r.eph.valid():
+            for pa in nav_bits.partial_anchors(bits):
+                start_period = rph + CODES_PER_BIT * (b_raw0 + pa["start"])
+                a_edge = float(start_period) * CODE_LEN_CHIPS
+                bit_epoch = (skip_abs
+                             + int(np.searchsorted(per_s, start_period)))
+                r.partial_anchors.append(dict(
+                    sid="how", tow=pa["tow"],
+                    bit_epoch=bit_epoch, a_edge=a_edge))
         r._decoded_upto = r.n_epochs
 
     def _carrier_smoothed_chips(self, r: ChannelRecord,
@@ -1076,8 +1156,10 @@ class Receiver:
                 cl = r.code_lock_at(e_local)
                 if cl is not None and cl < self.code_lock_gate:
                     continue
-            subs = {s["a_edge"]: s for s in r.archived_subframes
+            subs = {s["a_edge"]: s for s in r.partial_anchors
                     if s.get("a_edge") is not None}
+            subs.update({s["a_edge"]: s for s in r.archived_subframes
+                         if s.get("a_edge") is not None})
             subs.update({s["a_edge"]: s for s in r.subframes
                          if s.get("a_edge") is not None})
             anchors = [s for s in subs.values()
@@ -1207,8 +1289,10 @@ _PACK_FN = None
 def _pack_out(out: tc.EpochOut):
     """Pack per-epoch planes + per-chunk E/L/P magnitude means.
 
-    One device->host fetch per chunk: the four [n_ep, n_chan] planes
-    the host bookkeeping needs, plus a tiny [3, n_chan] chunk-mean of
+    One device->host fetch per chunk: the five [n_ep, n_chan] planes
+    the host bookkeeping needs (incl. the device code phase that
+    anchors the transmit-time chip integral), plus a tiny [3, n_chan]
+    chunk-mean of
     |early|, |late|, |prompt| — enough for the code-lock detector
     (track/quality.code_lock_metric) without shipping the full E/L
     histories (they would add 50% to the link traffic for a statistic
@@ -1221,7 +1305,7 @@ def _pack_out(out: tc.EpochOut):
 
         def pack(o):
             planes = jnp.stack(
-                [o.ip, o.qp, o.code_dev, o.carrier_freq]
+                [o.ip, o.qp, o.code_dev, o.carrier_freq, o.code_phase]
             ).astype(jnp.float32)
             p_mag = jnp.sqrt(o.ip * o.ip + o.qp * o.qp)
             elp = jnp.stack([o.e_mag.mean(0), o.l_mag.mean(0),

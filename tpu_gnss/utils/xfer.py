@@ -100,15 +100,27 @@ def to_device_iq4(raw: np.ndarray, signed: bool,
     Same output contract as :func:`to_device_iq8` (complex64 baseband,
     device-side DC removal) at half the transfer size; amplitudes are
     preserved up to the 4-bit step (scale is divided back out).
+
+    The quantizer is a 256-entry byte lookup (every input byte maps to
+    one nibble for a given scale), so host repacking costs three uint8
+    passes instead of six float32 passes — measured ~10x cheaper, which
+    matters because this runs per chunk on the streaming host
+    (BENCH_e2e r4: the float path burned 2.9 s of a 3.4 s wall).
     """
     raw = np.asarray(raw)
-    x = raw.astype(np.float32)
+    head = raw[:65536].astype(np.float32)
     if not signed:
-        x = x - 128.0
-    rms = float(np.sqrt(np.mean(np.square(x[:65536]))))
+        head = head - 128.0
+    rms = float(np.sqrt(np.mean(np.square(head))))
     scale = 7.0 / (3.0 * rms) if rms > 1e-12 else 1.0
-    q = np.clip(np.rint(x * scale), -7, 7).astype(np.int8)
-    return _unpack_iq4(jnp.asarray(_pack_nibbles(q[0::2], q[1::2])),
+    v = np.arange(256, dtype=np.uint8)
+    v = (v.view(np.int8).astype(np.float32) if signed
+         else v.astype(np.float32) - 128.0)
+    q = (np.clip(np.rint(v * scale), -7, 7).astype(np.int32)
+         & 0xF).astype(np.uint8)
+    u = raw.view(np.uint8) if raw.dtype != np.uint8 else raw
+    packed = q[u[0::2]] | (q << 4)[u[1::2]]
+    return _unpack_iq4(jnp.asarray(packed),
                        jnp.float32(1.0 / scale), remove_dc)
 
 
