@@ -316,3 +316,41 @@ def test_raim_refuses_unresolvable():
     t_tx[4] -= 1e-3
     sol, excl = ps.solve_position_raim(t_tx, ephs)
     assert sol is None and excl is None
+
+
+def test_soft_fault_exclusion_from_residual_baseline():
+    """Receiver-level adaptive RAIM (round-4 soak attribution): a
+    ~12 m single-channel pseudorange glitch sits far below the gross
+    500 m gate but spikes the post-fit residual to ~6x the receiver's
+    own baseline — the soft layer must exclude that channel and bring
+    the fix back to the clean level."""
+    from tpu_gnss.config import ReceiverConfig
+    from tpu_gnss.receiver import Receiver
+
+    ephs = make_constellation(6)
+    rx = np.array(ps.geodetic_to_ecef(52.95, -1.15, 48.0))
+    t_tx = gen_measurements(ephs, rx, T_RX)
+    recv = Receiver(ReceiverConfig(fs=2.048e6, fc=0.512e6, max_fo=5000.0,
+                                   fft_len=4096))
+    w = np.ones(6)
+    rng = np.random.default_rng(3)
+    for _ in range(10):   # clean solves build the residual baseline
+        noisy = t_tx + rng.normal(0.0, 1.5e-9, 6)   # ~0.5 m noise
+        sol, excl = recv._integrity_solve(noisy, ephs, w)
+        assert sol is not None and excl is None
+    clean_err = np.linalg.norm(np.array([sol.x, sol.y, sol.z]) - rx)
+
+    bad = t_tx + rng.normal(0.0, 1.5e-9, 6)
+    bad[3] += 4e-8                                  # +12 m fault
+    sol_b, excl_b = recv._integrity_solve(bad, ephs, w)
+    assert excl_b == 3, "soft layer failed to exclude the glitched channel"
+    err_b = np.linalg.norm(np.array([sol_b.x, sol_b.y, sol_b.z]) - rx)
+    assert err_b < clean_err + 2.0, (err_b, clean_err)
+
+    # availability: with no consistent subset (two faults) the soft
+    # layer keeps the ORIGINAL hard-gate fix rather than refusing
+    bad2 = t_tx + rng.normal(0.0, 1.5e-9, 6)
+    bad2[1] += 4e-8
+    bad2[4] -= 4e-8
+    sol_c, excl_c = recv._integrity_solve(bad2, ephs, w)
+    assert sol_c is not None

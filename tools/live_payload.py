@@ -150,7 +150,12 @@ for p in (warm_live, warm_live + ".done"):
     if os.path.exists(p):
         os.remove(p)
 open(warm_live, "wb").close()
-WARM_S = 24.0
+# 36 s at 0.5 s chunks: (a) warm+HOW-anchored first fix (one TOW from a
+# preamble+HOW pair suffices — no full subframe wait), (b) the latency
+# FLOOR at half the main phase's chunk size (the round-3 open question:
+# how much of the 1.95 s median is the 1 s chunk itself)
+WARM_S = 36.0
+WARM_CHUNK_S = 0.5
 warm_payload = payload[: int(WARM_S * bytes_per_s)]
 
 
@@ -185,17 +190,23 @@ recv = Receiver(cfg)
 t_start = time.perf_counter()
 th = threading.Thread(target=warm_writer)
 th.start()
-recv.process_source(src_w, max_channels=12, chunk_s=1.0,
+recv.process_source(src_w, max_channels=12, chunk_s=WARM_CHUNK_S,
                     warm_ephemerides=warm, on_solution=on_warm_fix)
 th.join()
 warm_instream = [f for f in warm_fixes if f["latency_s"] < 10.0]
 first_warm = (min(f["wall_s"] for f in warm_instream)
               if warm_instream else None)
+warm_lat = [f["latency_s"] for f in warm_instream]
 artifact["warm_start_first_live_fix_wall_s"] = first_warm
+artifact["warm_chunk_s"] = WARM_CHUNK_S
+artifact["warm_median_latency_s"] = (round(float(np.median(warm_lat)), 2)
+                                     if warm_lat else None)
 artifact["passed"] = bool(ok and first_warm is not None
-                          and first_warm <= 10.0)
+                          and first_warm <= 6.0)
 print(f"warm start: first live fix at wall {first_warm}s "
-      f"(cold needed ~{artifact['first_live_fix_scene_s']}s)", flush=True)
+      f"(cold needed ~{artifact['first_live_fix_scene_s']}s); "
+      f"median latency at chunk_s={WARM_CHUNK_S}: "
+      f"{artifact['warm_median_latency_s']}s", flush=True)
 
 out = os.path.join(os.path.dirname(os.path.dirname(
     os.path.abspath(__file__))), "BENCH_live.json")

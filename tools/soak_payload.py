@@ -136,8 +136,10 @@ artifact = dict(metric="soak_realtime_factor",
                 hist_mb=round(hist_mb, 2),
                 fix_series=fix_series,
                 passed=bool(ok))
+_name = ("BENCH_soak.json" if DURATION == 60
+         else f"BENCH_soak{int(DURATION)}.json")
 out = os.path.join(os.path.dirname(os.path.dirname(
-    os.path.abspath(__file__))), "BENCH_soak.json")
+    os.path.abspath(__file__))), _name)
 with open(out, "w") as f:
     json.dump(artifact, f, indent=1)
 print(json.dumps(artifact))

@@ -72,6 +72,18 @@ def main(argv=None) -> int:
                         "(defaults to 600 in --follow mode, unbounded "
                         "otherwise); transmit-time anchors survive "
                         "trimming")
+    p.add_argument("--if-offset", default="auto", metavar="HZ|auto",
+                   help="TX/RX oscillator offset of a replay capture "
+                        "(Hz).  'auto' (default) estimates it from the "
+                        "cold-start Doppler median when that is "
+                        "implausibly large for sky motion (>10 kHz); "
+                        "pass 0 to disable (reference replay workflow: "
+                        "README.md §2.1e, max_fo=100000)")
+    p.add_argument("--mesh-devices", type=int, default=None, metavar="N",
+                   help="distributed mode: run acquisition "
+                        "Doppler-sharded and the tracking bank "
+                        "channel-sharded over the first N jax devices "
+                        "(channel count must divide N)")
     args = p.parse_args(argv)
     from ..utils.jaxcache import enable_persistent_cache
     enable_persistent_cache()
@@ -115,7 +127,14 @@ def main(argv=None) -> int:
     max_hist = args.max_history
     if max_hist is None and args.follow:
         max_hist = 600.0       # a live receiver must not grow unboundedly
-    recv = Receiver(cfg, max_history_s=max_hist)
+    mesh = None
+    if args.mesh_devices:
+        from ..dist.shard import make_mesh
+        mesh = make_mesh(args.mesh_devices, axes=("dop",))
+    if_off = (args.if_offset if args.if_offset == "auto"
+              else float(args.if_offset))
+    recv = Receiver(cfg, max_history_s=max_hist, mesh=mesh,
+                    if_offset_hz=if_off)
     on_sol = None
     if args.follow:
         from . import nmea_out as _nm

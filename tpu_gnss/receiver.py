@@ -313,6 +313,13 @@ class Receiver:
         # fix integrity: weighted post-fit residual RMS gate + RAIM
         # fault exclusion (pvt.solve_position_raim)
         self.raim_residual_m = raim_residual_m
+        # adaptive fault exclusion: running residual baseline; a fix
+        # whose residual jumps far above the receiver's OWN noise level
+        # triggers exclusion even though it is far below the gross gate
+        # (a single glitched pseudorange of ~10 m self-flags as a
+        # 5-10x residual spike — BENCH_soak300 t=192 s)
+        from collections import deque
+        self._resid_hist = deque(maxlen=32)
         # live/unbounded streams: bound per-channel history to this many
         # seconds (transmit-time anchors survive trimming — a_edge is an
         # absolute chip count; decoded anchors are archived).  None =
@@ -1121,6 +1128,40 @@ class Receiver:
                               np.float64) + tail)
         return float(implied.mean())
 
+    def _integrity_solve(self, t_tx, ephs, weights):
+        """Hard + soft fault-gated position solve.
+
+        Hard layer: :func:`pvt.solve_position_raim` at the gross gate
+        (``raim_residual_m``, catches code-period slips ~300 km).  Soft
+        layer, calibrated to the receiver's OWN noise: once a residual
+        baseline exists (last 32 accepted fixes), a fix whose post-fit
+        RMS exceeds 5x the recent median (>=1 m) re-solves with
+        exclusion at that threshold — a single glitched pseudorange of
+        ~10 m self-flags as a 5-10x residual spike long before the
+        gross gate (BENCH_soak300 r4: one 8.5 m fix at resid 2.5 m vs
+        a 0.4 m baseline).  The original fix is kept if no subset
+        passes, so availability never drops below the hard-gate path.
+        """
+        sol, excl = pvt.solve_position_raim(
+            np.asarray(t_tx), ephs, np.asarray(weights), apply_iono=True,
+            residual_gate_m=self.raim_residual_m)
+        if sol is None or not sol.converged:
+            return None, None
+        r_rms = sol.residual_rms_m
+        if (excl is None and r_rms is not None
+                and len(self._resid_hist) >= 8 and len(t_tx) >= 5):
+            soft = max(5.0 * float(np.median(self._resid_hist)), 1.0)
+            if r_rms > soft:
+                sol2, excl2 = pvt.solve_position_raim(
+                    np.asarray(t_tx), ephs, np.asarray(weights),
+                    apply_iono=True, residual_gate_m=soft)
+                if (sol2 is not None and sol2.converged
+                        and excl2 is not None):
+                    sol, excl = sol2, excl2
+        if sol.residual_rms_m is not None:
+            self._resid_hist.append(float(sol.residual_rms_m))
+        return sol, excl
+
     def _solve_at(self, recs, e_snap: int) -> Optional[pvt.Solution]:
         """Assemble a consistent snapshot at epoch ``e_snap`` and solve.
 
@@ -1192,9 +1233,7 @@ class Receiver:
         # inconsistent pseudorange (e.g. a whole-code-period slip,
         # ~300 km) is excluded; with no consistent subset, NO fix is
         # reported rather than a wrong one
-        sol, excl = pvt.solve_position_raim(
-            np.asarray(t_tx), ephs, np.asarray(weights), apply_iono=True,
-            residual_gate_m=self.raim_residual_m)
+        sol, excl = self._integrity_solve(t_tx, ephs, weights)
         if sol is None or not sol.converged:
             return None
         excluded_rec = None
