@@ -76,7 +76,11 @@ def test_soak_dropout_reacquire_fix_cadence(tmp_path):
     # 4. accuracy holds through the soak (1-bit front end)
     errs = [np.linalg.norm(np.array([s.x, s.y, s.z]) - np.array(rx))
             for s in res.solutions]
-    assert max(errs) < 250.0, f"worst fix error {max(errs):.1f} m"
+    # r4: the chip integral is anchored to the device code phase and
+    # soft-RAIM excludes residual-flagged glitches — errors stay at
+    # the few-meter level with NO growth (300 s hardware soak: worst
+    # 2.2 m).  Lock the regression well below the old 8 m drift.
+    assert max(errs) < 4.0, f"worst fix error {max(errs):.1f} m"
 
     # 5. bounded memory: retained per-channel state is the integrate-and-
     #    dump product (kB/s scale), not raw samples (MB/s scale)

@@ -786,3 +786,31 @@ def test_code_lock_gate_samples_at_snapshot_epoch():
     r2 = ChannelRecord(ch=1, prn=6, start_epoch=0)
     r2.code_lock = 1.7
     assert r2.code_lock_at(123) == 1.7
+
+
+def test_fifo_zero_byte_close_is_clean_eof(tmp_path):
+    """A writer that connects and closes WITHOUT writing must end the
+    stream cleanly (POLLHUP-based writer detection), not burn the whole
+    stall budget and report a spurious stall."""
+    import os
+    import threading
+    import time
+    fifo = tmp_path / "pipe.bin"
+    os.mkfifo(fifo)
+
+    def writer():
+        time.sleep(0.15)
+        fd = os.open(fifo, os.O_WRONLY)
+        time.sleep(0.15)          # connected, idle — then close silently
+        os.close(fd)
+
+    th = threading.Thread(target=writer, daemon=True)
+    th.start()
+    rd = stream._FollowReader(str(fifo), stall_timeout_s=3.0, poll_s=0.02)
+    t0 = time.monotonic()
+    got = list(rd.chunks(512))
+    dt = time.monotonic() - t0
+    th.join(timeout=5)
+    assert got == [] and not rd.stalled, \
+        "zero-byte close must be clean EOF, not a stall"
+    assert dt < 2.0, f"clean close should not burn the stall budget ({dt:.1f}s)"

@@ -114,14 +114,17 @@ for s, e in zip(res.solutions, errs):
         if anchors and not r.lost:
             newest = max(a["bit_epoch"] + r.start_epoch for a in anchors)
             ages.append(round((s.snap_epoch - newest) * 1e-3, 1))
+    _resid = getattr(s, "residual_rms_m", None)
     fix_series.append(dict(
         t_s=round(s.snap_epoch * 1e-3, 1), err_m=round(e, 2),
-        resid_m=round(float(getattr(s, "residual_rms_m", float("nan"))
-                            or float("nan")), 2),
+        resid_m=round(float(_resid), 2) if _resid is not None else None,
         n_sats=len(getattr(s, "sats", []) or []),
         anchor_age_max_s=max(ages) if ages else None))
 
-ok = (reacquired and not missing and errs and max(errs) < 250.0
+# r4 regression lock (VERDICT r3 #7): flat error profile with
+# soft-RAIM exclusion — worst fix must stay < 4 m (measured 2.2 m
+# over 300 s, median 1.45 m)
+ok = (reacquired and not missing and errs and max(errs) < 4.0
       and first_fix is not None and first_fix <= 8.0)
 artifact = dict(metric="soak_realtime_factor",
                 value=round(DURATION / wall, 2), unit="x_realtime",

@@ -83,7 +83,7 @@ def main(argv=None) -> int:
                    help="distributed mode: run acquisition "
                         "Doppler-sharded and the tracking bank "
                         "channel-sharded over the first N jax devices "
-                        "(channel count must divide N)")
+                        "(N must divide the channel count)")
     args = p.parse_args(argv)
     from ..utils.jaxcache import enable_persistent_cache
     enable_persistent_cache()

@@ -311,43 +311,46 @@ class _FollowReader:
         fd = os.open(self.path, os.O_RDONLY | os.O_NONBLOCK)
         try:
             buf = bytearray()
-            waited = 0.0
             seen_writer = False
+            deadline = time.monotonic() + self.stall_timeout_s
+            poller = select.poll()
+            poller.register(fd, select.POLLIN)
             while True:
-                r, _, _ = select.select([fd], [], [], self.poll_s)
-                if not r:
-                    self.waits += 1
-                    waited += self.poll_s
-                    if waited >= self.stall_timeout_s:
-                        self.stalled = True
-                        return
-                    continue
-                try:
-                    got = os.read(fd, nbytes - len(buf))
-                except BlockingIOError:
-                    got = None
-                if got == b"":
-                    if seen_writer:
-                        return   # writer closed: clean end of stream
-                    # no writer has opened yet: select reports EOF-
-                    # readable on an unconnected FIFO — keep waiting
-                    # within the stall budget without spinning hot
+                ev = poller.poll(self.poll_s * 1000.0)
+                hup = any(e & select.POLLHUP for _, e in ev)
+                readable = any(e & select.POLLIN for _, e in ev)
+                # POLLHUP distinguishes "no writer attached" from "a
+                # writer connected but idle": a writer that connects and
+                # closes WITHOUT writing flips hup off then back on —
+                # observed as seen_writer + hup + no data = clean
+                # zero-byte end-of-stream, not a stall
+                if not hup:
+                    seen_writer = True
+                if readable:
+                    try:
+                        got = os.read(fd, nbytes - len(buf))
+                    except BlockingIOError:
+                        got = b""
+                    if got:
+                        seen_writer = True
+                        deadline = time.monotonic() + self.stall_timeout_s
+                        buf.extend(got)
+                        if len(buf) == nbytes:
+                            self.pos += nbytes
+                            yield bytes(buf)
+                            buf.clear()
+                        continue
+                if hup and seen_writer:
+                    return   # writer closed: clean end of stream
+                # idle or unconnected.  With HUP set poll() returns
+                # immediately, so sleep explicitly to avoid a hot spin;
+                # the stall budget is wall-clock either way.
+                if hup:
                     time.sleep(self.poll_s)
-                    self.waits += 1
-                    waited += self.poll_s
-                    if waited >= self.stall_timeout_s:
-                        self.stalled = True
-                        return
-                    continue
-                if not got:
-                    continue
-                seen_writer = True
-                waited = 0.0
-                buf.extend(got)
-                if len(buf) == nbytes:
-                    self.pos += nbytes
-                    yield bytes(buf)
-                    buf.clear()
+                self.waits += 1
+                if time.monotonic() >= deadline:
+                    self.stalled = True
+                    return
         finally:
             os.close(fd)
 

@@ -247,6 +247,15 @@ def partial_anchors(bits: np.ndarray) -> list[dict]:
         tow = 0
         for b in src2[:17]:          # HOW word source bits 1..17, MSB first
             tow = (tow << 1) | int(b)
+        # ICD range gate: TOW counts run 0..100799 (604800 s / 6 s); a
+        # noise-induced preamble+parity coincidence (only ~20 checked
+        # bits here vs the full subframe's ten-word parity) must not
+        # plant an out-of-week anchor.  0 is also rejected: it can only
+        # name the week-rollover subframe and is the most likely
+        # all-zero junk value.
+        if not (0 < tow <= 100799):
+            i += 1
+            continue
         out.append(dict(start=i, tow=tow, inverted=inverted))
         i += 2 * WORD_BITS
     return out

@@ -122,7 +122,13 @@ class ChannelRecord:
         self._chunks["qp"].append(qp)
         self._chunks["cf"].append(cf)
         self._chunks["caf"].append(caf)
+        # the two integral conventions must never mix on one record:
+        # the cp branch carries code_phase0 inside _chip_base, the cf
+        # fallback adds it separately — switching mid-record would
+        # double-count up to one code period (~300 km of pseudorange)
         if cp is not None:
+            assert self._chip_base == 0.0 or self._cp_last is not None, \
+                "record already uses the command-integral fallback"
             cp64 = np.asarray(cp, np.float64)
             wrap = lambda x: (x + 511.5) % CODE_LEN_CHIPS - 511.5
             if self._cp_last is None:
@@ -137,6 +143,8 @@ class ChannelRecord:
             self._chip_base = float(chips[-1])
             self._cp_last = float(cp64[-1])
         else:
+            assert self._cp_last is None, \
+                "record already uses the device-phase integral"
             cf64 = np.asarray(cf, np.float64) + CHIP_RATE_HZ
             chips = (self.code_phase0 + self._chip_base
                      + np.concatenate([[0.0],
@@ -213,6 +221,12 @@ class ChannelRecord:
             return self.code_lock
         i = bisect.bisect_left(h, e_local, key=lambda t: t[0])
         if i < len(h):
+            if i == 0 and len(h) > 1:
+                # history head may have been trimmed: only trust the
+                # first entry for epochs inside its own chunk
+                span0 = h[1][0] - h[0][0]
+                if e_local <= h[0][0] - span0:
+                    return None
             return h[i][1]
         span = h[-1][0] - (h[-2][0] if len(h) > 1 else 0)
         return h[-1][1] if e_local - h[-1][0] <= max(span, 1) else None
@@ -381,11 +395,16 @@ class Receiver:
         """
         engine = self.acq_engine
         if engine == "auto":
-            import jax
-            engine = ("mxu" if jax.devices()[0].platform in ("tpu", "axon")
-                      and self.searcher.mxu_supported() else "xla")
-        if self.mesh is not None and self.searcher.mxu_supported():
-            engine = "mxu_sharded"
+            # a mesh routes the auto engine to the sharded fused-kernel
+            # search (interpret mode off-TPU); an EXPLICIT engine choice
+            # is honored even in mesh mode (tracking stays sharded)
+            if self.mesh is not None and self.searcher.mxu_supported():
+                engine = "mxu_sharded"
+            else:
+                import jax
+                engine = ("mxu"
+                          if jax.devices()[0].platform in ("tpu", "axon")
+                          and self.searcher.mxu_supported() else "xla")
         kw = dict(bits=head) if bits else dict(iq=head)
 
         def run(n_nc):

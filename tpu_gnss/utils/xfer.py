@@ -108,6 +108,8 @@ def to_device_iq4(raw: np.ndarray, signed: bool,
     (BENCH_e2e r4: the float path burned 2.9 s of a 3.4 s wall).
     """
     raw = np.asarray(raw)
+    assert raw.dtype.itemsize == 1, (
+        f"to_device_iq4 takes 8-bit capture bytes, got {raw.dtype}")
     head = raw[:65536].astype(np.float32)
     if not signed:
         head = head - 128.0
