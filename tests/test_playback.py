@@ -101,3 +101,21 @@ def test_plan_emits_grc_flowgraph(tmp_path, capsys):
     assert names["sink"]["parameters"]["center_freq0"] == "1575420000"
     assert names["samp_rate"]["parameters"]["value"] == "5456000"
     assert len(d["connections"]) == 6
+
+
+def test_plan_adsb_profile(tmp_path, capsys):
+    """SURVEY §2.3 row: the reference's ADS-B side experiment
+    (adsb/adsb_out.grc — same TX chain at 2 Msps / 1176.45 MHz) is
+    covered by the 'adsb' profile in both the hackrf_transfer plan and
+    the emitted GRC flowgraph."""
+    playback.main(["plan", "adsb_for_hackrf.bin", "--profile", "adsb"])
+    text = capsys.readouterr().out
+    assert "hackrf_transfer -s 2000000 -f 1176450000" in text
+    out = tmp_path / "adsb.grc"
+    playback.main(["plan", "adsb_for_hackrf.bin", "--profile", "adsb",
+                   "--grc", str(out)])
+    import yaml
+    d = yaml.safe_load(out.read_text())
+    names = {b["name"]: b for b in d["blocks"]}
+    assert names["sink"]["parameters"]["center_freq0"] == "1176450000"
+    assert names["samp_rate"]["parameters"]["value"] == "2000000"

@@ -208,8 +208,10 @@ print(f"warm start: first live fix at wall {first_warm}s "
       f"median latency at chunk_s={WARM_CHUNK_S}: "
       f"{artifact['warm_median_latency_s']}s", flush=True)
 
+_name = ("BENCH_live.json" if DURATION == 60
+         else f"BENCH_live{int(DURATION)}.json")
 out = os.path.join(os.path.dirname(os.path.dirname(
-    os.path.abspath(__file__))), "BENCH_live.json")
+    os.path.abspath(__file__))), _name)
 with open(out, "w") as f:
     json.dump(artifact, f, indent=1)
 print(json.dumps({k: v for k, v in artifact.items() if k != "fixes"}))
