@@ -36,7 +36,7 @@ def _write_artifact(path, metric, results, key):
 
 def multiprocess_bench(processes, blocks_per_dev: int, cpu_devices: int,
                        repeats: int, pin_cores: bool = False,
-                       artifact: str = "") -> int:
+                       artifact: str = "", flagship: bool = False) -> int:
     """N-OS-process (DCN-simulation) scaling: the 2-host efficiency table.
 
     Spawns `tpu_gnss.dist.multihost` workers per process count and
@@ -78,7 +78,8 @@ def multiprocess_bench(processes, blocks_per_dev: int, cpu_devices: int,
                      "--num-processes", str(n_proc), "--process-id", str(i),
                      "--cpu-devices", str(1 if pin_cores else cpu_devices),
                      "--blocks-per-dev", str(blocks_per_dev),
-                     "--bench-repeats", str(repeats), "--out", outs[i]],
+                     "--bench-repeats", str(repeats), "--out", outs[i]]
+                    + (["--flagship"] if flagship else []),
                     cwd=repo) for i in range(n_proc)]
                 for q in procs:
                     assert q.wait(timeout=600) == 0
@@ -86,8 +87,12 @@ def multiprocess_bench(processes, blocks_per_dev: int, cpu_devices: int,
                 wall = min(wall, float(d["wall"]))
                 n_dev = int(d["n_devices"])
         n_blk = n_proc * blocks_per_dev
-        # worker scene: fft_len 2048, 32 PRNs, ~21-bin grid (padded)
-        work = n_blk * 32 * 21 * 2048
+        if flagship:
+            # Nottingham geometry: 40000-pt windows, 73-bin 136.4 Hz grid
+            work = n_blk * 32 * 73 * 40000
+        else:
+            # worker scene: fft_len 2048, 32 PRNs, ~21-bin grid (padded)
+            work = n_blk * 32 * 21 * 2048
         tput = work / wall
         if t1 is None:
             # per-process baseline from the first row — efficiency is
@@ -98,6 +103,8 @@ def multiprocess_bench(processes, blocks_per_dev: int, cpu_devices: int,
         hw = min(n_proc, n_cores) if pin_cores else n_proc
         row = dict(processes=n_proc,
                    devices=n_dev,
+                   shape=("flagship_fs5.456M_fft40000_73bins" if flagship
+                          else "tiny_fs1.024M_fft2048_21bins"),
                    blocks=n_blk, wall_s=round(wall, 4),
                    msample_prn_bin_s=round(tput / 1e6, 2),
                    efficiency_vs_linear=round(eff, 3))
@@ -135,13 +142,18 @@ def main() -> int:
     p.add_argument("--artifact", default="",
                    help="write the scaling table to this JSON file "
                         "(e.g. BENCH_dist.json)")
+    p.add_argument("--flagship", action="store_true",
+                   help="multiprocess rows at the reference capture's "
+                        "real geometry (fs=5.456 MHz, 40000-pt windows, "
+                        "73-bin grid) instead of the tiny test config")
     args = p.parse_args()
 
     if args.multiprocess:
         return multiprocess_bench(args.processes, args.blocks_per_device,
                                   cpu_devices=2, repeats=args.repeats,
                                   pin_cores=args.pin_cores,
-                                  artifact=args.artifact)
+                                  artifact=args.artifact,
+                                  flagship=args.flagship)
 
     if args.cpu or True:  # single real chip: CPU mesh is the only option
         os.environ["JAX_PLATFORMS"] = "cpu"
