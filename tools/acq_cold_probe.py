@@ -1,10 +1,9 @@
 import sys, os as _os
 sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
 import os, time
-os.environ["JAX_COMPILATION_CACHE_DIR"]="/root/.jax_cache"
+from tpu_gnss.utils.jaxcache import enable_persistent_cache
+enable_persistent_cache()
 import jax
-jax.config.update("jax_compilation_cache_dir","/root/.jax_cache")
-jax.config.update("jax_persistent_cache_min_compile_time_secs",1.0)
 import numpy as np
 t0=time.perf_counter()
 from tpu_gnss.config import ReceiverConfig

@@ -747,8 +747,15 @@ class FoldedSearcher:
         samples, from_bits = self._prep(bits, iq, n_noncoherent)
         cw_r, cw_i = self.mxu_code_planes()
         interp = jax.devices()[0].platform not in ("tpu", "axon")
-        dops_pad = jnp.asarray(pad_dops(np.asarray(self.dops_hz),
-                                        mesh.shape["dop"], self.dop_chunk))
+        # the padded grid is mesh-shape-dependent and re-used every
+        # cold/re-acquisition search — build + upload it once
+        pad_key = (mesh.shape["dop"], self.dop_chunk)
+        cached = getattr(self, "_dops_pad", None)
+        if cached is None or cached[0] != pad_key:
+            dops_pad = jnp.asarray(pad_dops(np.asarray(self.dops_hz),
+                                            *pad_key))
+            self._dops_pad = cached = (pad_key, dops_pad)
+        dops_pad = cached[1]
         stacked = acquire_refined_sharded(
             samples, cw_r, cw_i, self.code_ffts_p, dops_pad, mesh=mesh,
             fs=self.cfg.fs, lo_rate=self.cfg.lo_rate,

@@ -248,10 +248,6 @@ class ChannelRecord:
     def carrier_freq_hist(self) -> np.ndarray:
         return self.hist("caf")
 
-    def unwrapped_chips(self, fs: float) -> np.ndarray:
-        """Absolute chip count at each epoch start since start_epoch."""
-        return self.hist("chips")
-
 
 @dataclasses.dataclass
 class ReceiverResult:
