@@ -214,7 +214,61 @@ def build_parser() -> argparse.ArgumentParser:
                     help="Doppler search range when acquiring (the "
                          "reference uses 100 kHz for replayed captures)")
     lp.set_defaults(fn=loopback)
+
+    ag = sub.add_parser(
+        "adsb-gen",
+        help="generate an adsb_for_hackrf.bin-style Mode S waveform "
+             "(the reference's ADS-B side experiment plays a pre-made "
+             "one; adsb/adsb_out.grc)")
+    ag.add_argument("out_file", help="interleaved int8 I/Q output")
+    ag.add_argument("--icao", type=lambda s: int(s, 16), default=0xABCDEF,
+                    help="24-bit ICAO address, hex")
+    ag.add_argument("--callsign", default="TPUGNSS1")
+    ag.add_argument("--lat", type=float, default=52.2572)
+    ag.add_argument("--lon", type=float, default=3.9194)
+    ag.add_argument("--alt-ft", type=float, default=38000.0)
+    ag.add_argument("--repeat", type=int, default=1,
+                    help="how many times to repeat the frame group")
+    ag.add_argument("--gap-us", type=float, default=100.0)
+    ag.add_argument("--verify", action="store_true",
+                    help="demodulate the written waveform and print the "
+                         "decoded frames")
+    ag.set_defaults(fn=adsb_gen)
     return p
+
+
+def adsb_gen(args) -> int:
+    from ..signal import adsb
+
+    group = [
+        adsb.frame_identification(args.icao, args.callsign),
+        adsb.frame_airborne_position(
+            args.icao, args.lat, args.lon, args.alt_ft, odd=False),
+        adsb.frame_airborne_position(
+            args.icao, args.lat, args.lon, args.alt_ft, odd=True),
+    ]
+    iq = adsb.modulate(group * args.repeat, gap_us=args.gap_us)
+    with open(args.out_file, "wb") as f:
+        f.write(iq.tobytes())
+    dur = len(iq) / 2 / adsb.FS_ADSB
+    print(f"adsb-gen: wrote {len(iq) // 2} samples ({dur * 1e3:.2f} ms) "
+          f"at fs={adsb.FS_ADSB:g} -> {args.out_file}")
+    print(f"# transmit (reference adsb_out.grc parameters):")
+    print(f"hackrf_transfer -s {int(adsb.FS_ADSB)} "
+          f"-f {int(adsb.FREQ_ADSB)} -t {args.out_file} -R")
+    if args.verify:
+        frames = adsb.demodulate(iq)
+        print(f"# verify: {len(frames)} CRC-valid frames")
+        decs = [adsb.decode_frame(fr) for fr in frames]
+        for d in decs:
+            print(f"#   {d}")
+        pair = {d["odd"]: d["cpr"] for d in decs if "cpr" in d}
+        if len(pair) == 2:
+            pos = adsb.cpr_decode_global(pair[False], pair[True])
+            if pos:
+                print(f"#   global CPR decode: lat={pos[0]:.5f} "
+                      f"lon={pos[1]:.5f}")
+    return 0
 
 
 def main(argv=None) -> int:
