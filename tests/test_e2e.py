@@ -428,3 +428,51 @@ def test_warm_hot_start_fix_from_how_anchor(scene):
     sol = warm_res.solutions[-1]
     err = np.linalg.norm(np.array([sol.x, sol.y, sol.z]) - np.array(rx))
     assert err < 150.0, f"hot-start fix error {err:.1f} m"
+
+
+@pytest.mark.slow
+def test_almanac_directed_warm_search(scene):
+    """Almanac-directed cold search (nav/almanac.py): a stored almanac +
+    last fix restricts the sweep to the predicted-visible PRNs; the
+    receiver still fixes, detects only within the subset, collects an
+    almanac store of its own, and falls back to the full sweep when the
+    directed set is junk (stale almanac)."""
+    iq, ephs, rx = scene
+    from tpu_gnss.io.stream import ArraySource
+
+    # the scene synthesizes every SV regardless of horizon geometry
+    # (no Earth-blockage model), so almanac->elevation prediction is
+    # exercised in tests/test_almanac.py; here the directed set is a
+    # 5-PRN proper subset of the 32-PRN sweep, as visible_prns would
+    # produce, with PRN 7 deliberately excluded
+    visible = [2, 3, 4, 5, 6]
+
+    warm = {k + 2: e for k, e in enumerate(ephs)}
+    cfg = ReceiverConfig(fs=FS, fc=FS / 4, max_fo=5000.0, fft_len=4096,
+                         snr_threshold=20.0)
+    short = iq[: int(8.0 * FS)]
+    recv = Receiver(cfg)
+    res = recv.process_source(ArraySource(short, FS),
+                              warm_ephemerides=warm,
+                              search_prns=visible)
+    assert recv._searcher_directed is not None, \
+        "directed searcher must survive a healthy run"
+    assert res.detections and all(d["prn"] in visible
+                                  for d in res.detections)
+    assert all(d["prn"] != 7 for d in res.detections)
+    assert res.solutions, "directed warm start must fix within 8 s"
+    sol = res.solutions[-1]
+    err = np.linalg.norm(np.array([sol.x, sol.y, sol.z]) - np.array(rx))
+    assert err < 150.0, f"directed warm-start error {err:.1f} m"
+    # the receiver rebuilt its own store from the validated ephemerides
+    assert set(recv.almanac) >= set(d["prn"] for d in res.detections)
+
+    # stale/junk directed set: none of these PRNs exist in the scene ->
+    # the receiver falls back to the full sweep and still detects
+    recv2 = Receiver(cfg)
+    res2 = recv2.process_source(ArraySource(short, FS),
+                                warm_ephemerides=warm,
+                                search_prns=[25, 26, 27, 28])
+    assert recv2._searcher_directed is None, \
+        "junk directed set must be dropped"
+    assert len(res2.detections) >= 4, res2.detections

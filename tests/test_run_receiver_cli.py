@@ -88,3 +88,34 @@ def test_run_receiver_cli_follow(tmp_path, capsys):
     assert rc == 0
     assert "follow ended: end of stream" in out
     assert "acquired" in out
+
+
+@pytest.mark.slow
+def test_run_receiver_cli_directed_warm_start(tmp_path, capsys):
+    """--warm-start with a checkpoint holding almanac + last fix prints
+    and applies the directed search; the in-receiver fallback keeps an
+    under-delivering directed set harmless (rc 0, SVs acquired)."""
+    from tpu_gnss.nav.almanac import Almanac
+    from tpu_gnss.utils.checkpoint import save_state
+
+    iq, ephs, rx = build_scene(duration=8.0)
+    fc = FS / 4
+    cap = tmp_path / "cap.bin"
+    cap.write_bytes(loaders.pack_1bit(baseband_to_1bit_if(iq, fc, FS)))
+
+    ckpt = tmp_path / "prev.npz"
+    save_state(
+        str(ckpt),
+        ephemerides={k + 2: e for k, e in enumerate(ephs)},
+        almanac={k + 2: Almanac.from_ephemeris(k + 2, e)
+                 for k, e in enumerate(ephs)},
+        meta=dict(last_fix=dict(ecef=list(map(float, rx)),
+                                tow=302400.0 + 90.0)))
+    rc = run_receiver.main([
+        str(cap), str(fc), str(FS), "5000",
+        "--fft-len", "4096", "--threshold", "17",
+        "--warm-start", str(ckpt)])
+    out = capsys.readouterr().out
+    assert rc == 0
+    assert "directed search: almanac predicts PRNs" in out
+    assert "acquired" in out

@@ -50,7 +50,12 @@ def main(argv=None) -> int:
     p.add_argument("--warm-start", default=None,
                    help="load ephemerides from a previous checkpoint; a "
                         "fix then needs one subframe (~7 s) instead of "
-                        "three (~20 s)")
+                        "three (~20 s).  With a stored almanac + last "
+                        "fix, the cold search is also DIRECTED to the "
+                        "predicted-visible PRNs")
+    p.add_argument("--no-directed", action="store_true",
+                   help="disable the almanac-directed search even when "
+                        "the warm-start checkpoint could support it")
     p.add_argument("--nmea-out", default=None, metavar="FILE.nmea",
                    help="write fixes as NMEA GGA/GSA/GSV/RMC/VTG/GST "
                         "sentences (feed to cli.nmea monitor/compare)")
@@ -119,10 +124,25 @@ def main(argv=None) -> int:
         src = IQFileSource(args.filename, args.fs, dtype=iq_dtype)
 
     warm = None
+    search_prns = None
     if args.warm_start:
         from ..utils.checkpoint import load_state
-        warm = load_state(args.warm_start).get("ephemerides")
+        state = load_state(args.warm_start)
+        warm = state.get("ephemerides")
         print(f"warm start: ephemerides for PRNs {sorted(warm or {})}")
+        # almanac-directed cold search: a stored almanac plus the last
+        # fix predicts which PRNs are above the horizon now, so the
+        # sweep covers the visible subset instead of all 32 (with
+        # in-receiver fallback to the full sweep if it under-delivers)
+        alms = state.get("almanac")
+        last = (state.get("meta") or {}).get("last_fix")
+        if not args.no_directed and alms and last:
+            from ..nav.almanac import visible_prns
+            search_prns = visible_prns(
+                alms, last["ecef"], float(last["tow"]),
+                mask_deg=5.0, margin_s=1800.0)
+            print(f"directed search: almanac predicts PRNs {search_prns} "
+                  f"visible ({len(alms)} almanac entries)")
 
     max_hist = args.max_history
     if max_hist is None and args.follow:
@@ -154,6 +174,7 @@ def main(argv=None) -> int:
     with metrics.METRICS.stage("receiver.total"):
         result = recv.process_source(src, max_duration_s=args.duration,
                                      warm_ephemerides=warm,
+                                     search_prns=search_prns,
                                      on_solution=on_sol)
     if args.follow:
         if _live_nmea is not None:
@@ -220,12 +241,20 @@ def main(argv=None) -> int:
 
     if args.checkpoint:
         from ..utils.checkpoint import save_state
+        meta = dict(fs=cfg.fs, fc=cfg.fc, file=args.filename)
+        if result.solutions:
+            s = result.solutions[-1]
+            meta["last_fix"] = dict(ecef=[s.x, s.y, s.z],
+                                    tow=float(s.t_rx))
         save_state(args.checkpoint,
                    ephemerides={r.prn: r.eph for r in result.channels
                                 if r.eph.valid()},
                    detections=result.detections,
-                   meta=dict(fs=cfg.fs, fc=cfg.fc, file=args.filename))
-        print(f"\nstate saved to {args.checkpoint}")
+                   almanac=recv.almanac,
+                   meta=meta)
+        print(f"\nstate saved to {args.checkpoint}"
+              + (f" ({len(recv.almanac)} almanac entries)"
+                 if recv.almanac else ""))
 
     print("\n" + metrics.METRICS.report())
     return 0

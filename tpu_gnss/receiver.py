@@ -46,6 +46,7 @@ import numpy as np
 from .constants import CHIP_RATE_HZ, CODES_PER_BIT, CODE_LEN_CHIPS
 from .config import ReceiverConfig
 from .acquire.folded import FoldedSearcher
+from .nav import almanac as nav_almanac
 from .nav import bits as nav_bits
 from .nav.ephemeris import Ephemeris
 from .pvt import solve as pvt
@@ -283,6 +284,18 @@ class Receiver:
                  mesh=None):
         self.cfg = cfg
         self.searcher = FoldedSearcher(cfg, n_coherent=n_coherent)
+        self._n_coherent = n_coherent
+        # directed cold search (almanac warm start): a FoldedSearcher
+        # over the predicted-visible PRN subset; falls back to the full
+        # sweep when the directed set under-delivers (stale almanac)
+        self._searcher_directed = None
+        # almanac store: subframe 4/5 SV pages decoded from any channel,
+        # plus reductions of every validated ephemeris (strictly better
+        # data than the broadcast page).  Persisted via utils.checkpoint
+        # and used by nav.almanac.visible_prns to direct the next
+        # session's cold search.  The reference discards these pages
+        # (c/ephemeris.cpp:183-207 dispatches only ids 1-3 + iono).
+        self.almanac = {}
         t_s = epochs_per_step * 1e-3
         self.pll_gains = tc.second_order_gains(pll_bn_hz, t_s=t_s)
         self.dll_gains = tc.second_order_gains(dll_bn_hz, t_s=t_s)
@@ -388,40 +401,57 @@ class Receiver:
         ``skip_prns``: PRNs already tracked — dropped before refinement
         (cheap fruitless re-probes) and counted as found by the
         weak-signal escalation check.
+
+        A directed searcher (almanac warm start, ``search_prns``) sweeps
+        only the predicted-visible subset; when even the weak-signal
+        escalation leaves it short of ``weak_min_svs``, the full 32-PRN
+        sweep runs once as a fallback and the directed searcher is
+        dropped for the rest of the run (stale almanac).
         """
+        searcher = self._searcher_directed or self.searcher
         engine = self.acq_engine
         if engine == "auto":
             # a mesh routes the auto engine to the sharded fused-kernel
             # search (interpret mode off-TPU); an EXPLICIT engine choice
             # is honored even in mesh mode (tracking stays sharded)
-            if self.mesh is not None and self.searcher.mxu_supported():
+            if self.mesh is not None and searcher.mxu_supported():
                 engine = "mxu_sharded"
             else:
                 import jax
                 engine = ("mxu"
                           if jax.devices()[0].platform in ("tpu", "axon")
-                          and self.searcher.mxu_supported() else "xla")
+                          and searcher.mxu_supported() else "xla")
         kw = dict(bits=head) if bits else dict(iq=head)
 
-        def run(n_nc):
+        def run(n_nc, searcher):
             if engine == "mxu_sharded":
-                return self.searcher.detections_refined_sharded(
+                return searcher.detections_refined_sharded(
                     **kw, n_noncoherent=n_nc, skip_prns=skip_prns,
                     mesh=self.mesh)
             if engine == "mxu":
-                return self.searcher.detections_refined_fast(
+                return searcher.detections_refined_fast(
                     **kw, n_noncoherent=n_nc, skip_prns=skip_prns)
-            pwr = self.searcher.power_grid(**kw, n_noncoherent=n_nc)
-            return [d for d in self.searcher.detections_refined(pwr)
+            pwr = searcher.power_grid(**kw, n_noncoherent=n_nc)
+            return [d for d in searcher.detections_refined(pwr)
                     if d["prn"] not in skip_prns]
 
-        dets = run(1)
-        k = min(self.weak_noncoherent,
-                len(head) // self.searcher.block_len)
-        if len(dets) + len(skip_prns) < self.weak_min_svs and k > 1:
-            weak = run(k)
-            if len(weak) > len(dets):
-                dets = weak
+        def sweep(searcher):
+            dets = run(1, searcher)
+            k = min(self.weak_noncoherent,
+                    len(head) // searcher.block_len)
+            if len(dets) + len(skip_prns) < self.weak_min_svs and k > 1:
+                weak = run(k, searcher)
+                if len(weak) > len(dets):
+                    dets = weak
+            return dets
+
+        dets = sweep(searcher)
+        if (searcher is not self.searcher
+                and len(dets) + len(skip_prns) < self.weak_min_svs):
+            self._searcher_directed = None
+            full = sweep(self.searcher)
+            if len(full) > len(dets):
+                dets = full
         return dets
 
     # ------------------------------------------------------------------
@@ -438,6 +468,7 @@ class Receiver:
                        max_channels: Optional[int] = None,
                        chunk_s: float = 1.0,
                        warm_ephemerides: Optional[dict] = None,
+                       search_prns=None,
                        on_solution=None) -> ReceiverResult:
         """Streaming full chain over a :class:`tpu_gnss.io.stream` source.
 
@@ -456,12 +487,26 @@ class Receiver:
         SolveTask loop, c/solve.cpp:297-317) and each fix is delivered
         as it is computed — required for unbounded/following sources
         where "at the end" never comes.
+
+        ``search_prns``: restrict the cold/re-acquisition sweep to this
+        PRN subset (typically ``nav.almanac.visible_prns`` from a
+        checkpoint's almanac + last fix).  A proper subset cuts the
+        cold-search grid proportionally; the receiver falls back to the
+        full sweep if the directed set under-delivers.
         """
         import jax.numpy as jnp
         from .io.stream import Prefetcher
         from .utils.metrics import METRICS
 
         cfg = self.cfg
+        self._searcher_directed = None
+        if search_prns is not None:
+            subset = tuple(sorted(set(int(x) for x in search_prns)
+                                  & set(cfg.prns)))
+            if subset and subset != tuple(cfg.prns):
+                self._searcher_directed = FoldedSearcher(
+                    dataclasses.replace(cfg, prns=subset),
+                    n_coherent=self._n_coherent)
         p = round(cfg.fs * 1e-3)
         eps = self.epochs_per_step
         assert round(chunk_s * 1000) % eps == 0, \
@@ -1083,6 +1128,13 @@ class Receiver:
         frames = nav_bits.frame_sync(bits)
         for f in frames:
             sid = r.eph.ingest(f["data"])
+            if sid in (4, 5):
+                # collect SV almanac pages (any channel broadcasts the
+                # whole constellation's almanac; the reference discards
+                # these pages — nav/almanac.py)
+                alm = nav_almanac.ingest_page(f["data"])
+                if alm is not None and alm.valid():
+                    self.almanac[alm.prn] = alm
             # the subframe's first bit starts at this absolute period
             # index -> exact chip count on the channel's integral scale
             start_period = rph + CODES_PER_BIT * (b_raw0 + f["start"])
@@ -1112,6 +1164,12 @@ class Receiver:
                     sid="how", tow=pa["tow"],
                     bit_epoch=bit_epoch, a_edge=a_edge))
         r._decoded_upto = r.n_epochs
+        if r.eph.valid():
+            # a validated ephemeris is strictly better almanac data than
+            # the broadcast page — fold it into the store for the next
+            # session's directed search
+            self.almanac[r.prn] = nav_almanac.Almanac.from_ephemeris(
+                r.prn, r.eph)
 
     def _carrier_smoothed_chips(self, r: ChannelRecord,
                                 e_local: int, max_w: int = 4000,

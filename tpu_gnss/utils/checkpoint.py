@@ -36,6 +36,7 @@ def _np_scalar(o):
 def save_state(path: str, *, ephemerides: Optional[dict] = None,
                channel_state: Optional[ChannelState] = None,
                detections: Optional[list] = None,
+               almanac: Optional[dict] = None,
                meta: Optional[dict] = None) -> None:
     """Save receiver state to an ``.npz``.
 
@@ -43,9 +44,20 @@ def save_state(path: str, *, ephemerides: Optional[dict] = None,
       ephemerides: {prn: Ephemeris}
       channel_state: batched tracking state pytree
       detections: acquisition detection records (list of dicts)
+      almanac: {prn: nav.almanac.Almanac} — with a last fix + time in
+        ``meta`` this is what directs the next session's cold search
       meta: any JSON-serializable extras (fs, config hash, timestamps...)
     """
     payload: dict = {}
+    if almanac:
+        from ..nav.almanac import Almanac
+        aprns = sorted(almanac)
+        payload["alm_prns"] = np.asarray(aprns, np.int32)
+        for f in dataclasses.fields(Almanac):
+            if f.name != "prn":
+                payload[f"alm_{f.name}"] = np.asarray(
+                    [getattr(almanac[p], f.name) for p in aprns],
+                    np.float64)
     if ephemerides:
         prns = sorted(ephemerides)
         payload["eph_prns"] = np.asarray(prns, np.int32)
@@ -85,6 +97,16 @@ def load_state(path: str) -> dict:
             e.beta = tuple(z["eph_beta"][i])
             ephs[int(prn)] = e
         out["ephemerides"] = ephs
+    if "alm_prns" in z:
+        from ..nav.almanac import Almanac
+        alms = {}
+        for i, prn in enumerate(z["alm_prns"]):
+            a = Almanac(prn=int(prn))
+            for f in dataclasses.fields(Almanac):
+                if f.name != "prn":
+                    setattr(a, f.name, float(z[f"alm_{f.name}"][i]))
+            alms[int(prn)] = a
+        out["almanac"] = alms
     chan = {k[5:]: z[k] for k in z.files if k.startswith("chan_")}
     if chan:
         import jax.numpy as jnp
