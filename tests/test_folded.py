@@ -95,7 +95,9 @@ def test_wide_doppler_folded():
     cfg = ReceiverConfig(fs=2.048e6, fc=0.512e6, max_fo=100000.0,
                          fft_len=4096)
     f = FoldedSearcher(cfg, n_coherent=4)
-    assert len(f.dops_hz) == 2 * int(100000 / cfg.dop_bin_hz) + 1
+    # default grid: reference bins capped at 1000/n_coherent Hz (the
+    # fold's scalloping bound), here 250 Hz
+    assert len(f.dops_hz) == 2 * int(100000 / 250.0) + 1
     dop_true = 150 * cfg.dop_bin_hz  # 75 kHz
     sv = synth.SvSignal(prn=21, doppler_hz=dop_true, code_phase_chips=700.0)
     iq = synth.synth_baseband([sv], cfg.fs, f.block_len, noise_std=0.5,
@@ -104,3 +106,32 @@ def test_wide_doppler_folded():
     res = f.acquire(bits=bits)
     assert abs(float(res.doppler_hz[20]) - dop_true) <= cfg.dop_bin_hz / 2
     assert float(res.snr[20]) > 50
+
+
+def test_no_doppler_scalloping_null():
+    """Grid-quantization loss is bounded across Doppler (regression).
+
+    SMALL's window (fft 4096 at 2.048 Msps) gives 500 Hz reference
+    bins, but the n_coherent=4 fold only tolerates ~250 Hz of residual
+    before the per-period phasors cancel COMPLETELY: with the grid at
+    the raw reference spacing, a signal at 250 or 750 Hz true Doppler
+    was invisible (measured SNR ~10 vs ~130 at bin centers).  The
+    default grid is now capped at 1000/n_coherent Hz, bounding the
+    worst case at ~-3.9 dB; every Doppler below must clear the
+    detection threshold and stay within ~4x of the best cell.
+    """
+    cfg = SMALL
+    f = FoldedSearcher(cfg, n_coherent=4)
+    assert float(f.dops_hz[1] - f.dops_hz[0]) == pytest.approx(250.0)
+    snrs = {}
+    for dop in (0.0, 125.0, 250.0, 375.0, 625.0, 750.0, 875.0):
+        sv = synth.SvSignal(prn=17, doppler_hz=dop,
+                            code_phase_chips=300.0, amplitude=0.5)
+        iq = synth.synth_baseband([sv], cfg.fs, f.block_len,
+                                  noise_std=0.5, seed=11)
+        bits = synth.baseband_to_1bit_if(iq, cfg.fc, cfg.fs)
+        res = f.acquire(bits=bits)
+        snrs[dop] = float(res.snr[16])
+        assert abs(float(res.doppler_hz[16]) - dop) <= 130.0, (dop, snrs)
+    assert min(snrs.values()) > cfg.snr_threshold, snrs
+    assert min(snrs.values()) > max(snrs.values()) / 4.0, snrs

@@ -91,6 +91,35 @@ for attempt, instream in ((0, True), (1, False), (2, True)):
 stages_1bit = stage_snaps[1]
 wall_headline = walls[1]
 
+# pass 3/4: almanac-DIRECTED warm start (nav/almanac.py) — the cold
+# search sweeps only the predicted-visible PRNs (here the scene's six,
+# as a stored almanac + last fix would predict) instead of all 32.
+# Two passes: the first compiles the subset searcher, the second
+# measures; the acquire-stage time is the number to compare.
+directed = {}
+for attempt in range(2):
+    metrics.METRICS.timings.clear()
+    metrics.METRICS.counters.clear()
+    t0 = time.perf_counter()
+    first_fix = []
+    recv = Receiver(cfg_1bit)
+    res_d = recv.process_source(
+        FileSource1Bit(bit_path, cfg_1bit), max_channels=8, chunk_s=4.0,
+        search_prns=[2, 3, 4, 5, 6, 7],
+        on_solution=(lambda s: first_fix.append(time.perf_counter() - t0)
+                     if not first_fix else None))
+    wall_d = time.perf_counter() - t0
+    directed = dict(
+        wall_s=round(wall_d, 2),
+        realtime=round(duration / wall_d, 2),
+        ttff_s=round(first_fix[0], 2) if first_fix else None,
+        n_prns_swept=6,
+        acquire_s=round(sum(metrics.METRICS.timings.get(
+            "receiver.acquire", [])), 3),
+        n_solutions=len(res_d.solutions))
+    print(f"1bit directed pass {attempt}: {directed}", flush=True)
+directed["acquire_s_fullsweep"] = stages_1bit.get("receiver.acquire")
+
 # The complex-IQ path now benches the reference's ACTUAL 8-bit capture
 # format (gps_bin1bit_log2bin.m x100-gain int8 IQ output;
 # proc_hackrf_bin_for_gps.m input): an int8 interleaved file streamed
@@ -168,6 +197,7 @@ artifact = dict(metric="e2e_realtime_factor",
                 iq_path_wall_s=iq_results["int8"]["wall_s"],
                 iq_path_int4_realtime_factor=iq_results["int4"]["realtime"],
                 iq_paths=iq_results,
+                directed_search=directed,
                 n_solutions=len(res.solutions),
                 final_fix_error_m=round(err, 1) if err is not None else None,
                 stages=stages_1bit)

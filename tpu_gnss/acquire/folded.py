@@ -562,7 +562,20 @@ class FoldedSearcher:
       cfg: receiver configuration (fs, fc, max_fo, threshold, prns).
       n_coherent: code periods per coherent fold (default 4 ≈ the
         reference's 4 ms window at 10 Msps).
-      dop_spacing_hz: Doppler grid step (default: reference bin fs/40000).
+      dop_spacing_hz: Doppler grid step.  Default: the reference bin
+        ``cfg.dop_bin_hz`` (fs/fft_len), capped at one bin of the
+        COHERENT FOLD length, ``1000/n_coherent`` Hz.  The per-bin
+        wipe-off is exact, so the only Doppler loss is grid
+        quantization: a residual of f_r Hz rotates the n per-period
+        phasors by 2*pi*f_r/1000 each, attenuating the fold by
+        |sin(n*phi/2)/(n*sin(phi/2))|.  Without the cap, a config whose
+        fft_len/fs window is SHORTER than the fold (e.g. fft 4096 at
+        2.048 Msps: 500 Hz bins, 4 ms fold) hits a complete NULL at
+        half-bin residuals (250 Hz -> phasors at 90 deg steps sum to
+        zero).  The cap bounds the worst case at ~-3.9 dB — the same
+        scalloping class the reference's own window accepts
+        (c/search_offline.cpp:169-201's bins are 1/T_window).  Pass
+        ``500/n_coherent`` for a -0.9 dB bound at 2x the grid.
     """
 
     def __init__(self, cfg: ReceiverConfig, n_coherent: int = 4,
@@ -575,6 +588,8 @@ class FoldedSearcher:
         self.nf = fft_len_for_period(self.period)
         self.code_ffts_p = _code_ffts_device(cfg.fs, tuple(cfg.prns),
                                              self.nf)
+        if dop_spacing_hz is None:
+            dop_spacing_hz = min(cfg.dop_bin_hz, 1000.0 / n_coherent)
         self.dops_hz = jnp.asarray(doppler_grid_hz(cfg, dop_spacing_hz))
         self.dop_chunk = min(dop_chunk, len(self.dops_hz))
 
