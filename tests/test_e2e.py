@@ -455,8 +455,11 @@ def test_almanac_directed_warm_search(scene):
     res = recv.process_source(ArraySource(short, FS),
                               warm_ephemerides=warm,
                               search_prns=visible)
-    assert recv._searcher_directed is not None, \
-        "directed searcher must survive a healthy run"
+    # a SUCCESSFUL directed cold start retires the subset searcher so
+    # later re-acquisition sweeps the full constellation (rising SVs
+    # beyond the almanac margin stay reachable); that it ran at all is
+    # proven by the detections being confined to the subset
+    assert recv._searcher_directed is None
     assert res.detections and all(d["prn"] in visible
                                   for d in res.detections)
     assert all(d["prn"] != 7 for d in res.detections)

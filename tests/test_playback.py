@@ -190,3 +190,22 @@ def test_adsb_gen_cli(tmp_path, capsys):
     raw = np.fromfile(out, dtype=np.int8)
     assert len(raw) % 2 == 0 and np.abs(raw).max() == 100
     assert np.all(raw[1::2] == 0)  # Q rail idle, OOK on I
+
+
+def test_adsb_input_validation(tmp_path, capsys):
+    """Out-of-range altitude and non-charset callsigns are rejected
+    (wrapping would silently broadcast a wrong altitude; '#' is the
+    invalid-character placeholder, not a legal callsign char)."""
+    from tpu_gnss.signal import adsb
+
+    with pytest.raises(ValueError, match="50175"):
+        adsb.frame_airborne_position(0xABCDEF, 52.0, 4.0, 60000, odd=False)
+    with pytest.raises(ValueError, match="AIR-25"):
+        adsb.frame_identification(0xABCDEF, "AIR-25")
+    with pytest.raises(ValueError, match="callsign"):
+        adsb.frame_identification(0xABCDEF, "AB#")
+    # CLI surfaces it as a clean error, not a traceback
+    rc = playback.main(["adsb-gen", str(tmp_path / "x.bin"),
+                        "--callsign", "AIR-25"])
+    assert rc == 2
+    assert "callsign" in capsys.readouterr().err

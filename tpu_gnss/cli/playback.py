@@ -240,13 +240,17 @@ def build_parser() -> argparse.ArgumentParser:
 def adsb_gen(args) -> int:
     from ..signal import adsb
 
-    group = [
-        adsb.frame_identification(args.icao, args.callsign),
-        adsb.frame_airborne_position(
-            args.icao, args.lat, args.lon, args.alt_ft, odd=False),
-        adsb.frame_airborne_position(
-            args.icao, args.lat, args.lon, args.alt_ft, odd=True),
-    ]
+    try:
+        group = [
+            adsb.frame_identification(args.icao, args.callsign),
+            adsb.frame_airborne_position(
+                args.icao, args.lat, args.lon, args.alt_ft, odd=False),
+            adsb.frame_airborne_position(
+                args.icao, args.lat, args.lon, args.alt_ft, odd=True),
+        ]
+    except ValueError as e:
+        print(f"adsb-gen: {e}", file=sys.stderr)
+        return 2
     iq = adsb.modulate(group * args.repeat, gap_us=args.gap_us)
     with open(args.out_file, "wb") as f:
         f.write(iq.tobytes())

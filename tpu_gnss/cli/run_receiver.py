@@ -138,11 +138,19 @@ def main(argv=None) -> int:
         last = (state.get("meta") or {}).get("last_fix")
         if not args.no_directed and alms and last:
             from ..nav.almanac import visible_prns
-            search_prns = visible_prns(
-                alms, last["ecef"], float(last["tow"]),
-                mask_deg=5.0, margin_s=1800.0)
-            print(f"directed search: almanac predicts PRNs {search_prns} "
-                  f"visible ({len(alms)} almanac entries)")
+            pred = visible_prns(alms, last["ecef"], float(last["tow"]),
+                                mask_deg=5.0, margin_s=1800.0)
+            # only a non-empty PROPER subset actually directs the sweep
+            # (process_source discards anything else) — say which it is
+            if pred and set(pred) < set(cfg.prns):
+                search_prns = pred
+                print(f"directed search: almanac predicts PRNs {pred} "
+                      f"visible ({len(alms)} almanac entries)")
+            else:
+                why = ("no PRNs predicted visible (stale fix/time?)"
+                       if not pred else "all PRNs predicted visible")
+                print(f"almanac present but {why}; running the full "
+                      f"{len(cfg.prns)}-PRN sweep")
 
     max_hist = args.max_history
     if max_hist is None and args.follow:

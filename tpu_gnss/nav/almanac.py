@@ -198,12 +198,17 @@ def encode_pages(almanacs: dict[int, Almanac], tow_start: int
 
 
 def elevation_deg(sat_ecef, rx_ecef) -> float:
-    """Elevation of a satellite above the receiver's local horizon."""
-    rx = np.asarray(rx_ecef, np.float64)
-    los = np.asarray(sat_ecef, np.float64) - rx
-    up = rx / np.linalg.norm(rx)
-    s = float(np.dot(los, up) / np.linalg.norm(los))
-    return float(np.degrees(np.arcsin(np.clip(s, -1.0, 1.0))))
+    """Elevation of a satellite above the receiver's local horizon.
+
+    Same geodetic ENU geometry as the solver/NMEA path (pvt.iono.az_el)
+    so mask comparisons here agree with the GSV elevations emitted for
+    the same satellite.
+    """
+    from ..pvt.iono import az_el
+    from ..pvt.solve import lat_lon_alt
+    lat, lon, _alt = lat_lon_alt(*np.asarray(rx_ecef, np.float64))  # rad
+    _az, el = az_el(rx_ecef, sat_ecef, lat, lon)
+    return float(np.degrees(el))
 
 
 def visible_prns(almanacs: dict[int, Almanac], rx_ecef, t: float,

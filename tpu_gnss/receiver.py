@@ -406,7 +406,10 @@ class Receiver:
         only the predicted-visible subset; when even the weak-signal
         escalation leaves it short of ``weak_min_svs``, the full 32-PRN
         sweep runs once as a fallback and the directed searcher is
-        dropped for the rest of the run (stale almanac).
+        dropped for the rest of the run (stale almanac).  A SUCCESSFUL
+        directed sweep also retires it: its job is the cold start, and
+        later background re-acquisition must keep SVs reachable that
+        rise beyond the almanac prediction's time margin.
         """
         searcher = self._searcher_directed or self.searcher
         engine = self.acq_engine
@@ -446,12 +449,18 @@ class Receiver:
             return dets
 
         dets = sweep(searcher)
-        if (searcher is not self.searcher
-                and len(dets) + len(skip_prns) < self.weak_min_svs):
-            self._searcher_directed = None
-            full = sweep(self.searcher)
-            if len(full) > len(dets):
-                dets = full
+        if searcher is not self.searcher:
+            if len(dets) + len(skip_prns) < self.weak_min_svs:
+                self._searcher_directed = None
+                full = sweep(self.searcher)
+                if len(full) > len(dets):
+                    dets = full
+            elif dets:
+                # the directed grid's job is the COLD start; once it has
+                # seeded channels, background re-acquisition reverts to
+                # the full constellation — SVs rising beyond the almanac
+                # prediction's margin must stay reachable on a long run
+                self._searcher_directed = None
         return dets
 
     # ------------------------------------------------------------------

@@ -73,8 +73,19 @@ def _frame(icao: int, me_bits: list[int]) -> np.ndarray:
 
 def frame_identification(icao: int, callsign: str,
                          category: int = 0) -> np.ndarray:
-    """DF17 TC=4 aircraft-identification frame (112 bits)."""
+    """DF17 TC=4 aircraft-identification frame (112 bits).
+
+    ``callsign``: up to 8 characters from the Mode S 6-bit set
+    (A-Z, 0-9, space); anything else is rejected rather than silently
+    encoded as the invalid-character placeholder.
+    """
     cs = callsign.upper().ljust(8)[:8]
+    bad = sorted({ch for ch in cs
+                  if ch not in _CHARSET or ch == "#"})
+    if bad or len(callsign) > 8:
+        raise ValueError(
+            f"callsign {callsign!r}: must be <= 8 chars of A-Z, 0-9, "
+            f"space" + (f" (invalid: {''.join(bad)})" if bad else ""))
     me = _to_bits(4, 5) + _to_bits(category, 3)
     for ch in cs:
         me += _to_bits(_CHARSET.index(ch), 6)
@@ -103,7 +114,13 @@ def frame_airborne_position(icao: int, lat: float, lon: float,
     nl = max(cpr_nl(lat) - (1 if odd else 0), 1)
     dlon = 360.0 / nl
     xz = int(np.floor(nb * (lon % dlon) / dlon + 0.5)) % nb
-    # 12-bit altitude with Q=1 (25 ft LSB): N = (alt + 1000) / 25
+    # 12-bit altitude with Q=1 (25 ft LSB): N = (alt + 1000) / 25.
+    # The Q=1 encoding spans [-1000, 50175] ft; out-of-range values
+    # would silently wrap to a wrong altitude, so reject them (the
+    # Q=0 100-ft Gillham encoding above that is out of scope here).
+    if not -1000.0 <= alt_ft <= 50175.0:
+        raise ValueError(f"alt_ft={alt_ft:g} outside the Q=1 25-ft "
+                         "encoding range [-1000, 50175]")
     n = int(round((alt_ft + 1000) / 25.0)) & 0x7FF
     alt12 = _to_bits(n >> 4, 7) + [1] + _to_bits(n & 0xF, 4)
     me = (_to_bits(11, 5) + [0, 0]      # TC=11, surveillance status 0
