@@ -119,3 +119,10 @@ def test_run_receiver_cli_directed_warm_start(tmp_path, capsys):
     assert rc == 0
     assert "directed search: almanac predicts PRNs" in out
     assert "acquired" in out
+
+
+def test_rtltcp_scheme_connect_error(capsys):
+    """rtltcp:// with no server is a clean CLI error, not a traceback."""
+    rc = run_receiver.main(["rtltcp://127.0.0.1:1", "--stall-timeout", "1"])
+    assert rc == 2
+    assert "rtl_tcp connect failed" in capsys.readouterr().err

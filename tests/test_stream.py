@@ -814,3 +814,129 @@ def test_fifo_zero_byte_close_is_clean_eof(tmp_path):
     assert got == [] and not rd.stalled, \
         "zero-byte close must be clean EOF, not a stall"
     assert dt < 2.0, f"clean close should not burn the stall budget ({dt:.1f}s)"
+
+
+# ---------------------------------------------------------------------------
+# rtl_tcp live SDR source
+# ---------------------------------------------------------------------------
+
+def _rtltcp_server(payload: bytes, *, greeting: bytes = None,
+                   stall_after: int = None):
+    """Minimal rtl_tcp mock: returns (port, thread, received_cmds list).
+
+    Streams ``payload`` after the greeting; ``stall_after`` stops
+    sending after that many bytes WITHOUT closing (hung dongle).
+    """
+    import socket
+    import threading
+
+    srv = socket.socket()
+    srv.bind(("127.0.0.1", 0))
+    srv.listen(1)
+    port = srv.getsockname()[1]
+    cmds = []
+
+    def run():
+        conn, _ = srv.accept()
+        conn.settimeout(10.0)
+        conn.sendall(greeting if greeting is not None
+                     else b"RTL0" + (5).to_bytes(4, "big")
+                     + (29).to_bytes(4, "big"))
+        # drain the tune commands the client sends right after connect
+        import time
+        time.sleep(0.2)
+        conn.setblocking(False)
+        try:
+            buf = conn.recv(4096)
+            for i in range(0, len(buf) - 4, 5):
+                cmds.append((buf[i], int.from_bytes(buf[i+1:i+5], "big")))
+        except OSError:
+            pass
+        conn.setblocking(True)
+        data = payload if stall_after is None else payload[:stall_after]
+        if data:
+            conn.sendall(data)
+        if stall_after is not None:
+            time.sleep(3.0)     # hang without closing
+        conn.close()
+        srv.close()
+
+    t = threading.Thread(target=run, daemon=True)
+    t.start()
+    return port, t, cmds
+
+
+def test_rtltcp_source_streams_and_configures(rng):
+    """The source performs the rtl_tcp handshake (rate/freq/gain/ppm
+    commands, big-endian), then delivers the server's exact bytes via
+    raw_blocks and the same centered complex as IQFileSource via
+    blocks."""
+    raw = rng.integers(0, 256, 8192, dtype=np.uint8)
+    port, t, cmds = _rtltcp_server(raw.tobytes())
+    src = stream.RtlTcpSource("127.0.0.1", port, 2.048e6,
+                              freq_hz=1575.42e6, gain_db=28.4, ppm=1,
+                              stall_timeout_s=5.0)
+    assert src.tuner_type == 5 and src.tuner_gain_count == 29
+    got = list(src.blocks(2048))
+    t.join(timeout=10)
+    assert len(got) == 2
+    want = loaders.iq8_to_complex(raw[:4096], signed=False,
+                                  remove_dc=True)
+    np.testing.assert_allclose(got[0], want, atol=1e-6)
+    assert not src.stalled
+    d = dict(cmds)
+    assert d[stream.RtlTcpSource.CMD_RATE] == 2048000
+    assert d[stream.RtlTcpSource.CMD_FREQ] == 1575420000
+    assert d[stream.RtlTcpSource.CMD_GAIN_MODE] == 1
+    assert d[stream.RtlTcpSource.CMD_GAIN] == 284
+    assert d[stream.RtlTcpSource.CMD_PPM] == 1
+
+
+def test_rtltcp_rejects_non_rtl_server():
+    port, t, _ = _rtltcp_server(b"", greeting=b"HTTP/1.1 400\r\n\r\n")
+    with pytest.raises(ValueError, match="RTL0"):
+        stream.RtlTcpSource("127.0.0.1", port, 2.048e6)
+    t.join(timeout=10)
+
+
+def test_rtltcp_stall_sets_flag(rng):
+    """A server that hangs mid-stream (dead dongle) ends the stream
+    with stalled=True instead of blocking forever."""
+    raw = rng.integers(0, 256, 4096, dtype=np.uint8).tobytes()
+    port, t, _ = _rtltcp_server(raw, stall_after=3000)
+    src = stream.RtlTcpSource("127.0.0.1", port, 2.048e6,
+                              stall_timeout_s=0.5)
+    got = list(src.raw_blocks(2048))
+    assert len(got) == 0   # 3000 bytes < one 4096-byte block
+    assert src.stalled
+
+
+@pytest.mark.slow
+def test_rtltcp_receiver_live_fix():
+    """Full live-SDR chain: rtl_tcp server streaming a synthesized
+    uint8 I/Q scene -> RtlTcpSource -> warm receiver -> position fix
+    (the reference's rtl-sdr personality, live instead of offline)."""
+    from tests.test_e2e import FS, TRUTH_LLA, build_scene
+    from tpu_gnss.pvt import solve as ps
+    from tpu_gnss.receiver import Receiver
+
+    iq, ephs, rx = build_scene(duration=8.0)
+    scale = 100.0 / max(np.abs(iq.real).max(), np.abs(iq.imag).max())
+    raw = np.empty(2 * len(iq), np.uint8)
+    raw[0::2] = np.clip(np.rint(iq.real * scale), -127, 127) + 128
+    raw[1::2] = np.clip(np.rint(iq.imag * scale), -127, 127) + 128
+
+    port, t, _ = _rtltcp_server(raw.tobytes())
+    src = stream.RtlTcpSource("127.0.0.1", port, FS,
+                              stall_timeout_s=20.0)
+    cfg = ReceiverConfig(fs=FS, fc=FS / 4, max_fo=5000.0, fft_len=4096,
+                         snr_threshold=20.0)
+    warm = {k + 2: e for k, e in enumerate(ephs)}
+    fixes = []
+    res = Receiver(cfg).process_source(src, warm_ephemerides=warm,
+                                       on_solution=fixes.append)
+    t.join(timeout=10)
+    assert fixes, "no live fix from the rtl_tcp stream"
+    s = res.solutions[-1]
+    err = np.linalg.norm(np.array([s.x, s.y, s.z]) - np.array(rx))
+    assert err < 150.0, f"rtl_tcp live fix error {err:.1f} m"

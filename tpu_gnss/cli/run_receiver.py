@@ -23,7 +23,9 @@ def main(argv=None) -> int:
     p = argparse.ArgumentParser(
         prog="gps_receiver",
         description="TPU-native full GPS receiver on a capture file")
-    p.add_argument("filename")
+    p.add_argument("filename",
+                   help="capture file, or rtltcp://host:port for live "
+                        "SDR ingest from an rtl_tcp server")
     p.add_argument("fc", type=float, nargs="?", default=4.092e6)
     p.add_argument("fs", type=float, nargs="?", default=5.456e6)
     p.add_argument("max_fo", type=float, nargs="?", default=5000.0)
@@ -84,6 +86,14 @@ def main(argv=None) -> int:
                         "implausibly large for sky motion (>10 kHz); "
                         "pass 0 to disable (reference replay workflow: "
                         "README.md §2.1e, max_fo=100000)")
+    p.add_argument("--rtl-freq", type=float, default=1575.42e6,
+                   metavar="HZ",
+                   help="rtl_tcp tuner center frequency (rtltcp:// "
+                        "sources; default GPS L1)")
+    p.add_argument("--rtl-gain", type=float, default=None, metavar="DB",
+                   help="rtl_tcp manual tuner gain in dB (default: AGC)")
+    p.add_argument("--rtl-ppm", type=int, default=0,
+                   help="rtl_tcp frequency correction, ppm")
     p.add_argument("--mesh-devices", type=int, default=None, metavar="N",
                    help="distributed mode: run acquisition "
                         "Doppler-sharded and the tracking bank "
@@ -94,7 +104,8 @@ def main(argv=None) -> int:
     enable_persistent_cache()
 
     import os
-    if not os.path.exists(args.filename) and not args.follow:
+    is_net = args.filename.startswith("rtltcp://")
+    if not is_net and not os.path.exists(args.filename) and not args.follow:
         # --follow waits for the writer to create the file instead
         print(f"error: capture file not found: {args.filename}",
               file=sys.stderr)
@@ -108,7 +119,26 @@ def main(argv=None) -> int:
                          snr_threshold=args.threshold,
                          num_chans=args.channels)
     iq_dtype = "int8" if args.format == "iq8" else "uint8"
-    if args.follow:
+    if is_net:
+        # live SDR over the rtl_tcp protocol: rtltcp://host:port.
+        # Fixes stream in-stream (as with --follow); tune the dongle's
+        # crystal error away with --if-offset auto + a wide max_fo
+        from ..io.stream import RtlTcpSource
+        hostport = args.filename[len("rtltcp://"):]
+        host, _, port = hostport.rpartition(":")
+        try:
+            src = RtlTcpSource(host or "127.0.0.1", int(port), args.fs,
+                               freq_hz=args.rtl_freq,
+                               gain_db=args.rtl_gain, ppm=args.rtl_ppm,
+                               stall_timeout_s=args.stall_timeout)
+        except (OSError, ValueError) as e:
+            print(f"error: rtl_tcp connect failed: {e}", file=sys.stderr)
+            return 2
+        print(f"rtl_tcp: connected to {hostport} (tuner type "
+              f"{src.tuner_type}, {src.tuner_gain_count} gain steps), "
+              f"fs={args.fs:g}, freq={args.rtl_freq:g}")
+        args.follow = True   # in-stream solving + live fix printing
+    elif args.follow:
         from ..io.stream import FollowSource1Bit, FollowIQSource
         if args.format == "1bit":
             src = FollowSource1Bit(args.filename, cfg,
@@ -187,11 +217,13 @@ def main(argv=None) -> int:
     if args.follow:
         if _live_nmea is not None:
             _live_nmea.close()
-        why = "stalled (no growth)" if src.stalled else "end of stream"
+        why = ("stalled (no growth)" if getattr(src, "stalled", False)
+               else "end of stream")
+        skipped = getattr(getattr(src, "reader", None),
+                          "skipped_bytes", 0)
         print(f"\nfollow ended: {why}; "
               f"worst lag {getattr(src, 'max_lag_s', 0.0):.2f}s"
-              + (f", skipped {src.reader.skipped_bytes} bytes"
-                 if src.reader.skipped_bytes else ""))
+              + (f", skipped {skipped} bytes" if skipped else ""))
 
     print(f"\nacquired {len(result.detections)} SVs:")
     for d in result.detections:

@@ -160,6 +160,118 @@ class IQFileSource(SampleSource):
                                          remove_dc=self.remove_dc)
 
 
+class RtlTcpSource(SampleSource):
+    """Live SDR ingest over the rtl_tcp protocol (uint8 I/Q stream).
+
+    The reference's rtl-sdr workflow is offline: capture with
+    ``rtl_sdr``, convert with ``proc_rtl_bin_for_gps.m``, then run
+    ``gps_test`` (README.md §2.2).  This source closes the live gap: it
+    speaks the standard ``rtl_tcp`` server protocol (12-byte ``RTL0``
+    greeting, 5-byte big-endian tune commands, then a raw uint8
+    interleaved I/Q stream), so ``run_receiver rtltcp://host:port``
+    produces fixes from a dongle in real time — the SDR analog of the
+    reference's live SPI sampler (c/search.cpp:122-160).
+
+    Exposes ``raw_blocks``/``dtype``/``remove_dc`` like
+    :class:`IQFileSource`, so the receiver's 8-bit fast path applies:
+    the socket's own bytes cross the host->device link and
+    deinterleave/recenter/DC-removal run on device.
+
+    Tune the server to the L1 center (1575.42 MHz) and give the
+    receiver ``if_offset_hz="auto"`` / a wide ``max_fo``: dongle
+    crystal error is exactly the replay-capture oscillator-offset
+    problem the ±100 kHz grid exists for (README.md §2.1e).
+
+    A receive gap longer than ``stall_timeout_s`` ends the stream with
+    ``stalled=True`` (server died / USB stall), mirroring the follow
+    sources' stall semantics.
+    """
+
+    CMD_FREQ = 0x01
+    CMD_RATE = 0x02
+    CMD_GAIN_MODE = 0x03
+    CMD_GAIN = 0x04
+    CMD_PPM = 0x05
+    CMD_AGC = 0x08
+
+    dtype = "uint8"
+    remove_dc = True
+
+    def __init__(self, host: str, port: int, fs: float,
+                 freq_hz: float = 1575.42e6,
+                 gain_db: Optional[float] = None, ppm: int = 0,
+                 stall_timeout_s: float = 5.0,
+                 _sock=None):
+        import socket as _socket
+        self.fs = fs
+        self.stalled = False
+        self.stall_timeout_s = stall_timeout_s
+        self.sock = (_sock if _sock is not None
+                     else _socket.create_connection((host, port),
+                                                    timeout=stall_timeout_s))
+        self.sock.settimeout(stall_timeout_s)
+        hdr = self._read_exact(12)
+        if hdr is None or hdr[:4] != b"RTL0":
+            self.sock.close()
+            raise ValueError(
+                f"not an rtl_tcp server at {host}:{port} "
+                f"(greeting {hdr[:4]!r}, want b'RTL0')")
+        self.tuner_type = int.from_bytes(hdr[4:8], "big")
+        self.tuner_gain_count = int.from_bytes(hdr[8:12], "big")
+        self._cmd(self.CMD_RATE, int(round(fs)))
+        self._cmd(self.CMD_FREQ, int(round(freq_hz)))
+        if ppm:
+            self._cmd(self.CMD_PPM, ppm & 0xFFFFFFFF)
+        if gain_db is None:
+            self._cmd(self.CMD_GAIN_MODE, 0)   # tuner AGC
+            self._cmd(self.CMD_AGC, 1)
+        else:
+            self._cmd(self.CMD_GAIN_MODE, 1)
+            self._cmd(self.CMD_GAIN, int(round(gain_db * 10)))
+
+    def _cmd(self, cmd: int, param: int) -> None:
+        self.sock.sendall(bytes([cmd]) + int(param).to_bytes(4, "big"))
+
+    def _read_exact(self, n: int) -> Optional[bytes]:
+        """Read exactly n bytes; None on EOF/stall (sets ``stalled``)."""
+        import socket as _socket
+        buf = bytearray()
+        while len(buf) < n:
+            try:
+                chunk = self.sock.recv(n - len(buf))
+            except (_socket.timeout, TimeoutError):
+                self.stalled = True
+                return None
+            except OSError:
+                return None
+            if not chunk:        # orderly server close
+                return None
+            buf.extend(chunk)
+        return bytes(buf)
+
+    def raw_blocks(self, block_len: int) -> Iterator[np.ndarray]:
+        """Interleaved uint8 I/Q straight off the socket."""
+        try:
+            while True:
+                raw = self._read_exact(2 * block_len)
+                if raw is None:
+                    return
+                yield np.frombuffer(raw, dtype=np.uint8)
+        finally:
+            self.close()
+
+    def blocks(self, block_len: int) -> Iterator[np.ndarray]:
+        for raw in self.raw_blocks(block_len):
+            yield loaders.iq8_to_complex(raw, signed=False,
+                                         remove_dc=self.remove_dc)
+
+    def close(self) -> None:
+        try:
+            self.sock.close()
+        except OSError:
+            pass
+
+
 class SynthSource(SampleSource):
     """Live-signal simulator: generates baseband blocks on demand."""
 
