@@ -842,17 +842,25 @@ def _rtltcp_server(payload: bytes, *, greeting: bytes = None,
         conn.sendall(greeting if greeting is not None
                      else b"RTL0" + (5).to_bytes(4, "big")
                      + (29).to_bytes(4, "big"))
-        # drain the tune commands the client sends right after connect
+        # drain the tune commands the client sends right after connect:
+        # read with a deadline until a 5-byte boundary and >= 2 commands
+        # (every construction sends at least rate+freq), so slow CI
+        # can't under-read and make the assertion flaky
         import time
-        time.sleep(0.2)
-        conn.setblocking(False)
-        try:
-            buf = conn.recv(4096)
-            for i in range(0, len(buf) - 4, 5):
-                cmds.append((buf[i], int.from_bytes(buf[i+1:i+5], "big")))
-        except OSError:
-            pass
-        conn.setblocking(True)
+        deadline = time.monotonic() + 5.0
+        buf = b""
+        conn.settimeout(0.1)
+        while time.monotonic() < deadline:
+            try:
+                chunk = conn.recv(4096)
+            except OSError:
+                chunk = b""
+            buf += chunk
+            if not chunk and len(buf) >= 10 and len(buf) % 5 == 0:
+                break
+        conn.settimeout(10.0)
+        for i in range(0, len(buf) - 4, 5):
+            cmds.append((buf[i], int.from_bytes(buf[i+1:i+5], "big")))
         data = payload if stall_after is None else payload[:stall_after]
         if data:
             conn.sendall(data)
@@ -940,3 +948,85 @@ def test_rtltcp_receiver_live_fix():
     s = res.solutions[-1]
     err = np.linalg.norm(np.array([s.x, s.y, s.z]) - np.array(rx))
     assert err < 150.0, f"rtl_tcp live fix error {err:.1f} m"
+
+
+def test_rtltcp_silent_server_is_value_error():
+    """A service that accepts but never sends a greeting (or closes
+    first) must raise ValueError (caught by the CLI), not TypeError."""
+    import socket
+    import threading
+
+    srv = socket.socket()
+    srv.bind(("127.0.0.1", 0))
+    srv.listen(1)
+    port = srv.getsockname()[1]
+
+    def run():
+        conn, _ = srv.accept()
+        conn.close()
+        srv.close()
+
+    t = threading.Thread(target=run, daemon=True)
+    t.start()
+    with pytest.raises(ValueError, match="nothing"):
+        stream.RtlTcpSource("127.0.0.1", port, 2.048e6,
+                            stall_timeout_s=1.0)
+    t.join(timeout=10)
+
+
+def test_rtltcp_negative_gain_and_ppm_ride_twos_complement(rng):
+    """Negative gain/ppm corrections encode as uint32 two's complement
+    (the rtl_tcp wire format) instead of crashing with OverflowError."""
+    port, t, cmds = _rtltcp_server(b"")
+    src = stream.RtlTcpSource("127.0.0.1", port, 2.048e6,
+                              gain_db=-1.0, ppm=-5, stall_timeout_s=5.0)
+    list(src.raw_blocks(1024))
+    t.join(timeout=10)
+    d = dict(cmds)
+    assert d[stream.RtlTcpSource.CMD_GAIN] == (-10) & 0xFFFFFFFF
+    assert d[stream.RtlTcpSource.CMD_PPM] == (-5) & 0xFFFFFFFF
+
+
+def test_rtltcp_midstream_reset_reports_error(rng):
+    """A server that dies mid-stream (RST) surfaces as src.error, so
+    the CLI can distinguish a crashed SDR from a clean end-of-stream."""
+    import socket
+    import struct
+    import threading
+
+    raw = rng.integers(0, 256, 2048, dtype=np.uint8).tobytes()
+    srv = socket.socket()
+    srv.bind(("127.0.0.1", 0))
+    srv.listen(1)
+    port = srv.getsockname()[1]
+
+    def run():
+        conn, _ = srv.accept()
+        conn.sendall(b"RTL0" + bytes(8))
+        import time
+        time.sleep(0.3)
+        conn.sendall(raw)
+        # RST instead of FIN: SO_LINGER with zero timeout
+        conn.setsockopt(socket.SOL_SOCKET, socket.SO_LINGER,
+                        struct.pack("ii", 1, 0))
+        conn.close()
+        srv.close()
+
+    t = threading.Thread(target=run, daemon=True)
+    t.start()
+    src = stream.RtlTcpSource("127.0.0.1", port, 2.048e6,
+                              stall_timeout_s=5.0)
+    got = list(src.raw_blocks(4096))   # needs 8192 B, only 2048 sent
+    t.join(timeout=10)
+    assert got == []
+    assert src.error is not None and not src.stalled
+
+
+def test_rtltcp_cli_url_validation(capsys):
+    from tpu_gnss.cli import run_receiver
+    rc = run_receiver.main(["rtltcp://myhost"])
+    assert rc == 2
+    assert "needs host:port" in capsys.readouterr().err
+    rc = run_receiver.main(["rtltcp://myhost:abc"])
+    assert rc == 2
+    assert "needs host:port" in capsys.readouterr().err

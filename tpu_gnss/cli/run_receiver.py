@@ -123,18 +123,32 @@ def main(argv=None) -> int:
         # live SDR over the rtl_tcp protocol: rtltcp://host:port.
         # Fixes stream in-stream (as with --follow); tune the dongle's
         # crystal error away with --if-offset auto + a wide max_fo
+        from urllib.parse import urlsplit
+
         from ..io.stream import RtlTcpSource
-        hostport = args.filename[len("rtltcp://"):]
-        host, _, port = hostport.rpartition(":")
+        u = urlsplit(args.filename)   # handles IPv6 [::1]:port too
         try:
-            src = RtlTcpSource(host or "127.0.0.1", int(port), args.fs,
-                               freq_hz=args.rtl_freq,
+            port = u.port             # raises on a non-numeric port
+        except ValueError:
+            port = None
+        if port is None:
+            print(f"error: {args.filename}: rtltcp URL needs host:port "
+                  "(e.g. rtltcp://127.0.0.1:1234)", file=sys.stderr)
+            return 2
+        if args.max_lag is not None:
+            print("warning: --max-lag has no effect on rtltcp:// "
+                  "sources (TCP backpressure is the flow control); "
+                  "a receiver slower than fs will eventually overflow "
+                  "the server's ring buffer", file=sys.stderr)
+        try:
+            src = RtlTcpSource(u.hostname or "127.0.0.1", port,
+                               args.fs, freq_hz=args.rtl_freq,
                                gain_db=args.rtl_gain, ppm=args.rtl_ppm,
                                stall_timeout_s=args.stall_timeout)
         except (OSError, ValueError) as e:
             print(f"error: rtl_tcp connect failed: {e}", file=sys.stderr)
             return 2
-        print(f"rtl_tcp: connected to {hostport} (tuner type "
+        print(f"rtl_tcp: connected to {u.netloc} (tuner type "
               f"{src.tuner_type}, {src.tuner_gain_count} gain steps), "
               f"fs={args.fs:g}, freq={args.rtl_freq:g}")
         args.follow = True   # in-stream solving + live fix printing
@@ -217,7 +231,9 @@ def main(argv=None) -> int:
     if args.follow:
         if _live_nmea is not None:
             _live_nmea.close()
+        err = getattr(src, "error", None)
         why = ("stalled (no growth)" if getattr(src, "stalled", False)
+               else f"connection error ({err})" if err
                else "end of stream")
         skipped = getattr(getattr(src, "reader", None),
                           "skipped_bytes", 0)

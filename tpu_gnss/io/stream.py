@@ -205,35 +205,48 @@ class RtlTcpSource(SampleSource):
         import socket as _socket
         self.fs = fs
         self.stalled = False
+        self.error: Optional[str] = None   # mid-stream socket failure
         self.stall_timeout_s = stall_timeout_s
         self.sock = (_sock if _sock is not None
                      else _socket.create_connection((host, port),
                                                     timeout=stall_timeout_s))
-        self.sock.settimeout(stall_timeout_s)
-        hdr = self._read_exact(12)
-        if hdr is None or hdr[:4] != b"RTL0":
+        try:
+            self.sock.settimeout(stall_timeout_s)
+            hdr = self._read_exact(12)
+            if hdr is None or hdr[:4] != b"RTL0":
+                got = "nothing" if hdr is None else repr(hdr[:4])
+                raise ValueError(
+                    f"not an rtl_tcp server at {host}:{port} "
+                    f"(greeting {got}, want b'RTL0')")
+            self.tuner_type = int.from_bytes(hdr[4:8], "big")
+            self.tuner_gain_count = int.from_bytes(hdr[8:12], "big")
+            self._cmd(self.CMD_RATE, int(round(fs)))
+            self._cmd(self.CMD_FREQ, int(round(freq_hz)))
+            if ppm:
+                self._cmd(self.CMD_PPM, ppm)
+            if gain_db is None:
+                self._cmd(self.CMD_GAIN_MODE, 0)   # tuner AGC
+                self._cmd(self.CMD_AGC, 1)
+            else:
+                self._cmd(self.CMD_GAIN_MODE, 1)
+                self._cmd(self.CMD_GAIN, int(round(gain_db * 10)))
+        except BaseException:
             self.sock.close()
-            raise ValueError(
-                f"not an rtl_tcp server at {host}:{port} "
-                f"(greeting {hdr[:4]!r}, want b'RTL0')")
-        self.tuner_type = int.from_bytes(hdr[4:8], "big")
-        self.tuner_gain_count = int.from_bytes(hdr[8:12], "big")
-        self._cmd(self.CMD_RATE, int(round(fs)))
-        self._cmd(self.CMD_FREQ, int(round(freq_hz)))
-        if ppm:
-            self._cmd(self.CMD_PPM, ppm & 0xFFFFFFFF)
-        if gain_db is None:
-            self._cmd(self.CMD_GAIN_MODE, 0)   # tuner AGC
-            self._cmd(self.CMD_AGC, 1)
-        else:
-            self._cmd(self.CMD_GAIN_MODE, 1)
-            self._cmd(self.CMD_GAIN, int(round(gain_db * 10)))
+            raise
 
     def _cmd(self, cmd: int, param: int) -> None:
-        self.sock.sendall(bytes([cmd]) + int(param).to_bytes(4, "big"))
+        # uint32 big-endian; negatives (gain/ppm corrections) ride as
+        # two's complement, matching the rtl_tcp wire format
+        self.sock.sendall(bytes([cmd])
+                          + (int(param) & 0xFFFFFFFF).to_bytes(4, "big"))
 
     def _read_exact(self, n: int) -> Optional[bytes]:
-        """Read exactly n bytes; None on EOF/stall (sets ``stalled``)."""
+        """Read exactly n bytes; None on EOF/stall/error.
+
+        A timeout sets ``stalled`` (hung server); a socket error sets
+        ``error`` (crashed server / dropped network) — both are
+        distinguishable from a clean end-of-stream by the caller.
+        """
         import socket as _socket
         buf = bytearray()
         while len(buf) < n:
@@ -242,7 +255,8 @@ class RtlTcpSource(SampleSource):
             except (_socket.timeout, TimeoutError):
                 self.stalled = True
                 return None
-            except OSError:
+            except OSError as e:
+                self.error = str(e)
                 return None
             if not chunk:        # orderly server close
                 return None
