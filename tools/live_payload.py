@@ -46,13 +46,20 @@ fc = E.FS / 4
 cfg = ReceiverConfig(fs=E.FS, fc=fc, max_fo=5000.0, fft_len=4096,
                      snr_threshold=17.0, num_chans=12)
 
-# warm pass on a static copy: compile caches + jit traces
+# warm pass on a static copy: compile caches + jit traces — for BOTH
+# chunk shapes the timed phases use (the main phase's 1.0 s and the
+# warm-start phase's 0.5 s; a chunk shape traces its own tracker
+# program, and an untraced shape makes the warm-start phase pay a
+# multi-second compile catch-up it then reports as fix latency)
 warm_path = "/tmp/live_warm.bin"
 open(warm_path, "wb").write(payload[: len(payload) // 4])
 open(warm_path + ".done", "w").close()
 recv = Receiver(cfg)
 recv.process_source(FollowSource1Bit(warm_path, cfg), chunk_s=1.0,
                     on_solution=lambda s: None)
+Receiver(cfg).process_source(FollowSource1Bit(warm_path, cfg),
+                             chunk_s=0.5, max_duration_s=8.0,
+                             on_solution=lambda s: None)
 print("warm pass done", flush=True)
 
 live_path = "/tmp/live_feed.bin"
