@@ -135,3 +135,53 @@ def test_no_doppler_scalloping_null():
         assert abs(float(res.doppler_hz[16]) - dop) <= 130.0, (dop, snrs)
     assert min(snrs.values()) > cfg.snr_threshold, snrs
     assert min(snrs.values()) > max(snrs.values()) / 4.0, snrs
+
+
+def test_noncoherent_threshold_false_alarm_equalized():
+    """T(k) is the chi^2 tail-matched threshold: identity at k=1,
+    monotonically decreasing, and the stdlib Wilson-Hilferty fallback
+    stays within ~7% (conservative side) of the scipy-exact value."""
+    from tpu_gnss.acquire.folded import noncoherent_threshold as T
+    assert T(25.0, 1) == 25.0
+    vals = [T(25.0, k) for k in (1, 2, 4, 8, 16)]
+    assert all(a > b for a, b in zip(vals, vals[1:]))
+    assert vals[2] == pytest.approx(8.47, abs=0.05)   # k=4
+    assert vals[3] == pytest.approx(5.37, abs=0.05)   # k=8
+    # WH fallback (what runs without scipy)
+    import math
+    from statistics import NormalDist
+    for k in (2, 4, 8, 16):
+        v = 2.0 * k
+        z = NormalDist().inv_cdf(1.0 - math.exp(-25.0))
+        wh = v * (1 - 2 / (9 * v) + z * math.sqrt(2 / (9 * v))) ** 3 / v
+        exact = T(25.0, k)
+        # WH is least accurate at low dof (k=2: +12%); always on the
+        # conservative (higher-threshold) side
+        assert exact <= wh <= exact * (1.15 if k == 2 else 1.08)
+
+
+def test_noncoherent_accumulation_unlocks_weak_signal():
+    """A signal far below the single-block threshold is detected after
+    non-coherent accumulation with the false-alarm-equalized threshold
+    (the constant-25 threshold rejected it at every k, wasting the
+    accumulation entirely), while pure noise stays silent at the same
+    accumulated threshold."""
+    cfg = SMALL
+    f = FoldedSearcher(cfg, n_coherent=4)
+    K = 16
+    sv = synth.SvSignal(prn=22, doppler_hz=800.0, code_phase_chips=50.0,
+                        amplitude=0.06)
+    iq = synth.synth_baseband([sv], cfg.fs, K * f.block_len,
+                              noise_std=1.0, seed=7)
+    bits = synth.baseband_to_1bit_if(iq, cfg.fc, cfg.fs)
+    one = f.acquire(bits=bits, n_noncoherent=1)
+    assert f.detections(one) == []          # invisible single-block
+    acc = f.acquire(bits=bits, n_noncoherent=K)
+    dets = f.detections(acc, n_noncoherent=K)
+    assert [d["prn"] for d in dets] == [22], dets
+    assert abs(dets[0]["doppler_hz"] - 800.0) <= 130.0
+    # false-alarm control: pure noise under the SAME k-threshold
+    rng = np.random.default_rng(3)
+    nbits = rng.integers(0, 2, K * f.block_len).astype(np.uint8)
+    noise = f.acquire(bits=nbits, n_noncoherent=K)
+    assert f.detections(noise, n_noncoherent=K) == []

@@ -26,6 +26,7 @@ an arbitrary Hz grid (default: the reference's bin spacing fs/40000).
 from __future__ import annotations
 
 import functools
+import math
 from typing import NamedTuple, Optional
 
 import jax
@@ -117,6 +118,37 @@ def doppler_grid_hz(cfg: ReceiverConfig,
     step = spacing_hz if spacing_hz is not None else cfg.dop_bin_hz
     m = int(cfg.max_fo / step)
     return (np.arange(-m, m + 1, dtype=np.float64) * step).astype(np.float32)
+
+
+def noncoherent_threshold(t1: float, k: int) -> float:
+    """Equal-false-alarm SNR threshold for a k-block accumulated grid.
+
+    The peak/avg statistic CONCENTRATES with non-coherent accumulation:
+    a mean-normalized noise cell of the k-sum grid is chi^2_{2k}/(2k)
+    (exponential at k=1), so a threshold held constant at the k=1 value
+    ``t1`` throws away most of the accumulation's sensitivity gain —
+    the weak signal has to stand at t1 even though the noise floor's
+    maxima have shrunk severalfold.  This returns the chi^2_{2k}
+    tail-matched threshold: same per-cell false-alarm probability
+    exp(-t1) as the k=1 detector.  Measured on the real engine (32 SVs
+    x full grid, noise only): maxima 13.3-16.0 at k=1 (t=25),
+    3.7-4.2 at k=8 (T=5.37) — the relative margin is preserved.
+    """
+    if k <= 1:
+        return float(t1)
+    p = math.exp(-float(t1))
+    try:
+        from scipy.stats import chi2
+        return float(chi2.isf(p, 2 * k) / (2 * k))
+    except ImportError:
+        # Wilson-Hilferty approximation (<= ~7% high of exact for the
+        # k/t1 ranges here -- conservative): chi2_isf(p, v) ~=
+        # v * (1 - 2/(9v) + z_p * sqrt(2/(9v)))^3
+        from statistics import NormalDist
+        v = 2.0 * k
+        z = NormalDist().inv_cdf(1.0 - p)
+        return float(v * (1.0 - 2.0 / (9 * v)
+                          + z * math.sqrt(2.0 / (9 * v))) ** 3 / v)
 
 
 @functools.partial(jax.jit,
@@ -743,7 +775,7 @@ class FoldedSearcher:
             n_coherent=self.n_coherent, n_noncoherent=n_noncoherent,
             dop_chunk=self.dop_chunk, from_bits=from_bits,
             period=self.period, nf=self.nf, interpret=interp)
-        return self._dets_from_stack(stacked, skip_prns)
+        return self._dets_from_stack(stacked, skip_prns, n_noncoherent)
 
     def detections_refined_sharded(self, bits=None, iq=None,
                                    n_noncoherent: int = 1,
@@ -777,16 +809,18 @@ class FoldedSearcher:
             n_coherent=self.n_coherent, n_noncoherent=n_noncoherent,
             dop_chunk=self.dop_chunk, period=self.period, nf=self.nf,
             from_bits=from_bits, interpret=interp)
-        return self._dets_from_stack(stacked, skip_prns)
+        return self._dets_from_stack(stacked, skip_prns, n_noncoherent)
 
-    def _dets_from_stack(self, stacked, skip_prns=()) -> list[dict]:
+    def _dets_from_stack(self, stacked, skip_prns=(),
+                         n_noncoherent: int = 1) -> list[dict]:
         """Threshold a ``[3, n_sv]`` (snr, dop, ca) device stack."""
+        thr = noncoherent_threshold(self.cfg.snr_threshold, n_noncoherent)
         snr, dop, ca = np.asarray(stacked)
         out = []
         for i, prn in enumerate(self.cfg.prns):
             # NaN-safe inclusion test: a degenerate (e.g. all-zero) head
             # yields NaN SNRs, which must not pass the threshold
-            if prn in skip_prns or not (snr[i] >= self.cfg.snr_threshold):
+            if prn in skip_prns or not (snr[i] >= thr):
                 continue
             out.append(dict(prn=prn, sv=prn - 1, snr=float(snr[i]),
                             doppler_hz=float(dop[i]),
@@ -795,18 +829,22 @@ class FoldedSearcher:
                                                / self.cfg.dop_bin_hz))))
         return out
 
-    def detections_refined(self, pwr) -> list[dict]:
+    def detections_refined(self, pwr,
+                           n_noncoherent: int = 1) -> list[dict]:
         """Threshold + sub-bin refine straight from a power grid.
 
         One host fetch of the ``[n_sv, n_dop, P]`` float grid buys
         parabolic-refined Doppler/code-phase seeds for every detection.
+        ``n_noncoherent``: how many blocks the grid accumulates — the
+        threshold is false-alarm-equalized (noncoherent_threshold).
         """
+        thr = noncoherent_threshold(self.cfg.snr_threshold, n_noncoherent)
         pwr = np.asarray(pwr)
         dops = np.asarray(self.dops_hz)
         out = []
         for i, prn in enumerate(self.cfg.prns):
             ref = refine_peak(pwr, dops, i)
-            if ref["snr"] < self.cfg.snr_threshold:
+            if ref["snr"] < thr:
                 continue
             out.append(dict(prn=prn, sv=prn - 1, snr=ref["snr"],
                             doppler_hz=ref["doppler_hz"],
@@ -815,13 +853,15 @@ class FoldedSearcher:
                                                / self.cfg.dop_bin_hz))))
         return out
 
-    def detections(self, res: FoldedResult) -> list[dict]:
+    def detections(self, res: FoldedResult,
+                   n_noncoherent: int = 1) -> list[dict]:
+        thr = noncoherent_threshold(self.cfg.snr_threshold, n_noncoherent)
         snr = np.asarray(res.snr)
         dop = np.asarray(res.doppler_hz)
         ca = np.asarray(res.ca_shift)
         out = []
         for i, prn in enumerate(self.cfg.prns):
-            if snr[i] >= self.cfg.snr_threshold:
+            if snr[i] >= thr:
                 out.append(dict(
                     prn=prn, sv=prn - 1, snr=float(snr[i]),
                     doppler_hz=float(dop[i]), ca_shift=int(ca[i]),

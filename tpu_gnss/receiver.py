@@ -435,7 +435,7 @@ class Receiver:
                 return searcher.detections_refined_fast(
                     **kw, n_noncoherent=n_nc, skip_prns=skip_prns)
             pwr = searcher.power_grid(**kw, n_noncoherent=n_nc)
-            return [d for d in searcher.detections_refined(pwr)
+            return [d for d in searcher.detections_refined(pwr, n_nc)
                     if d["prn"] not in skip_prns]
 
         def sweep(searcher):
