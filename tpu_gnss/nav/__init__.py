@@ -1,1 +1,1 @@
-from . import bits, ephemeris
+from . import almanac, bits, ephemeris
