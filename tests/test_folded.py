@@ -185,3 +185,21 @@ def test_noncoherent_accumulation_unlocks_weak_signal():
     nbits = rng.integers(0, 2, K * f.block_len).astype(np.uint8)
     noise = f.acquire(bits=nbits, n_noncoherent=K)
     assert f.detections(noise, n_noncoherent=K) == []
+
+
+def test_near_far_guard_rejects_cross_correlation():
+    """Two strong SVs (SNR ~500) lift every other PRN's ACCUMULATED
+    peak/avg to ~10-13 via their deterministic cross-correlation floor
+    — above the k=4 thermal threshold of ~8.5.  The near-far guard
+    (reject k>1 detections >13 dB below the sweep's strongest) keeps
+    the accumulated sweep to exactly the real signals."""
+    cfg = SMALL
+    f = FoldedSearcher(cfg, n_coherent=4)
+    svs = [synth.SvSignal(prn=9, doppler_hz=500.0, code_phase_chips=300.0),
+           synth.SvSignal(prn=17, doppler_hz=-1200.0,
+                          code_phase_chips=10.0)]
+    iq = synth.synth_baseband(svs, cfg.fs, 4 * f.block_len,
+                              noise_std=0.5, seed=6)
+    acc = f.acquire(iq=iq, n_noncoherent=4)
+    dets = f.detections(acc, n_noncoherent=4)
+    assert sorted(d["prn"] for d in dets) == [9, 17], dets

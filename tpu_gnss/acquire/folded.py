@@ -151,6 +151,24 @@ def noncoherent_threshold(t1: float, k: int) -> float:
                           + z * math.sqrt(2.0 / (9 * v))) ** 3 / v)
 
 
+# Near-far cross-correlation guard for accumulated (k>1) detections.
+# The chi^2 threshold above models THERMAL noise, but a strong in-band
+# signal's C/A cross-correlation floor is deterministic: it accumulates
+# coherently while noise averages down, so at k=4 a pair of SNR ~500
+# signals lifts EVERY other PRN's accumulated peak/avg to ~10-13 —
+# above the k=4 threshold of 8.5 (measured).  Worst-case C/A
+# cross-correlation is -21.1 dB (-18 dB at adverse Doppler offsets);
+# detections more than ~13 dB below the sweep's strongest signal are
+# inside that ambiguity and untrustworthy (the protection real
+# receivers apply).  The k=1 threshold of 25 needs no guard: the
+# reference chose it to sit above the single-block cross floor.
+CROSS_GUARD = 1.0 / 20.0
+
+
+def _near_far_ok(snr: float, snr_max: float, k: int) -> bool:
+    return k <= 1 or snr >= snr_max * CROSS_GUARD
+
+
 @functools.partial(jax.jit,
                    static_argnames=("fs", "n_coherent", "dop_chunk",
                                     "period"))
@@ -816,11 +834,16 @@ class FoldedSearcher:
         """Threshold a ``[3, n_sv]`` (snr, dop, ca) device stack."""
         thr = noncoherent_threshold(self.cfg.snr_threshold, n_noncoherent)
         snr, dop, ca = np.asarray(stacked)
+        # near-far reference: strongest over ALL PRNs (a tracked-and-
+        # skipped strong SV still pollutes the others' cross floor)
+        smax = float(np.nanmax(snr)) if len(snr) else 0.0
         out = []
         for i, prn in enumerate(self.cfg.prns):
             # NaN-safe inclusion test: a degenerate (e.g. all-zero) head
             # yields NaN SNRs, which must not pass the threshold
             if prn in skip_prns or not (snr[i] >= thr):
+                continue
+            if not _near_far_ok(float(snr[i]), smax, n_noncoherent):
                 continue
             out.append(dict(prn=prn, sv=prn - 1, snr=float(snr[i]),
                             doppler_hz=float(dop[i]),
@@ -841,10 +864,14 @@ class FoldedSearcher:
         thr = noncoherent_threshold(self.cfg.snr_threshold, n_noncoherent)
         pwr = np.asarray(pwr)
         dops = np.asarray(self.dops_hz)
+        refs = [refine_peak(pwr, dops, i)
+                for i in range(len(self.cfg.prns))]
+        smax = max((r["snr"] for r in refs), default=0.0)
         out = []
-        for i, prn in enumerate(self.cfg.prns):
-            ref = refine_peak(pwr, dops, i)
+        for prn, ref in zip(self.cfg.prns, refs):
             if ref["snr"] < thr:
+                continue
+            if not _near_far_ok(ref["snr"], smax, n_noncoherent):
                 continue
             out.append(dict(prn=prn, sv=prn - 1, snr=ref["snr"],
                             doppler_hz=ref["doppler_hz"],
@@ -859,9 +886,11 @@ class FoldedSearcher:
         snr = np.asarray(res.snr)
         dop = np.asarray(res.doppler_hz)
         ca = np.asarray(res.ca_shift)
+        smax = float(np.nanmax(snr)) if len(snr) else 0.0
         out = []
         for i, prn in enumerate(self.cfg.prns):
-            if snr[i] >= thr:
+            if (snr[i] >= thr
+                    and _near_far_ok(float(snr[i]), smax, n_noncoherent)):
                 out.append(dict(
                     prn=prn, sv=prn - 1, snr=float(snr[i]),
                     doppler_hz=float(dop[i]), ca_shift=int(ca[i]),
