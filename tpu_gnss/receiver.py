@@ -271,7 +271,7 @@ class Receiver:
                  agc_thresholds: Optional[tuple] = None,
                  acq_engine: str = "auto",
                  weak_min_svs: int = 4,
-                 weak_noncoherent: int = 4,
+                 weak_noncoherent: int = 8,
                  transfer_dtype: str = "int8",
                  quality_gate: bool = True,
                  cn0_gate_dbhz: float = 25.0,
@@ -316,7 +316,13 @@ class Receiver:
         self.acq_engine = acq_engine
         # weak-signal escalation: when a single-block cold search finds
         # fewer than ``weak_min_svs`` SVs, retry with ``weak_noncoherent``
-        # blocks accumulated non-coherently (needs that much input)
+        # blocks accumulated non-coherently (needs that much input).
+        # The accumulated sweep thresholds at the false-alarm-equalized
+        # level with the near-far cross-correlation guard
+        # (acquire/folded.noncoherent_threshold), so deeper accumulation
+        # buys real sensitivity; k=8 is ~32 ms of head, well inside the
+        # smallest chunk, and only runs when the receiver is short of a
+        # solvable constellation.
         self.weak_min_svs = weak_min_svs
         self.weak_noncoherent = weak_noncoherent
         # complex-capture uplink quantization: "int8" sends quantized
