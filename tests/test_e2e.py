@@ -269,6 +269,42 @@ def test_full_chain_from_1bit_if(scene, tmp_path):
 
 
 @pytest.mark.slow
+def test_fix_count_chunk_size_invariant(scene, tmp_path):
+    """The solve cadence is epoch-driven, never ingest-chunk-driven.
+
+    The reference fixes every 4 s of signal time regardless of how the
+    samples arrive (c/solve.cpp:297-302, a wall-clock loop); here the
+    same capture must yield the IDENTICAL fix count at every chunk
+    size.  Regression for the BENCH_e2e ``int4_chunk8`` zero-fix row:
+    file sources dropped the final partial chunk, so chunk_s=8 on a
+    20 s capture lost its last 4 s — and with it the third subframe
+    every ephemeris needs.
+    """
+    iq, ephs, rx = scene
+    from tpu_gnss.io import loaders
+    from tpu_gnss.io.stream import FileSource1Bit
+    from tpu_gnss.signal.synth import baseband_to_1bit_if
+
+    fc = FS / 4
+    path = tmp_path / "cap_1bit.bin"
+    path.write_bytes(loaders.pack_1bit(baseband_to_1bit_if(iq, fc, FS)))
+    cfg = ReceiverConfig(fs=FS, fc=fc, max_fo=5000.0, fft_len=4096,
+                         snr_threshold=17.0)
+    counts = {}
+    for ch_s in (0.5, 1.0, 4.0, 8.0):
+        res = Receiver(cfg).process_source(FileSource1Bit(str(path), cfg),
+                                           chunk_s=ch_s)
+        assert res.solutions, f"no fix at chunk_s={ch_s}"
+        sol = res.solutions[-1]
+        err = np.linalg.norm(np.array([sol.x, sol.y, sol.z])
+                             - np.array(rx))
+        assert err < 60.0, f"chunk_s={ch_s}: position error {err:.1f} m"
+        counts[ch_s] = len(res.solutions)
+    assert len(set(counts.values())) == 1, (
+        f"fix count varies with ingest chunk size: {counts}")
+
+
+@pytest.mark.slow
 def test_quality_gate_excludes_degraded_channel():
     """A deep-faded channel (C/N0 collapse, tracking slips) is excluded
     by the C/N0 / Costas-lock solver gate, and the gated fix is at least

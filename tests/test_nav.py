@@ -153,6 +153,57 @@ def test_iono_page18_roundtrip():
     assert got.beta == pytest.approx(eph.beta)
 
 
+def test_utc_page18_roundtrip_and_leap():
+    """Broadcast UTC parameters (page 18 second half): encode -> parity
+    -> ingest roundtrip, plus the ICD 20.3.3.5.2.4 effectivity rule.
+    The reference never decodes these (c/ephemeris.cpp:70-83 stops at
+    beta), so its NMEA-era consumers run 18 s off UTC."""
+    eph = ne.Ephemeris(iodc=9, iode2=9, iode3=9)
+    eph.a0_utc = 2.0 ** -30 * -1234
+    eph.a1_utc = 2.0 ** -50 * 77
+    eph.t_ot = 2.0 ** 12 * 143          # 585728 s
+    eph.wn_t = 73.0                      # full week 2377 mod 256
+    eph.delta_t_ls = 18.0
+    eph.wn_lsf = 85.0                    # leap event week (mod 256)
+    eph.dn_utc = 7.0
+    eph.delta_t_lsf = 19.0
+    frames = ne.encode_subframes(eph, tow_start=100, sids=(4,))
+    got = ne.Ephemeris()
+    data = nb.check_subframe(frames[0], 0, 0)
+    assert data is not None
+    got.ingest(data)
+    assert got.has_utc
+    for f in ("a0_utc", "a1_utc", "t_ot", "wn_t", "delta_t_ls",
+              "wn_lsf", "dn_utc", "delta_t_lsf"):
+        assert getattr(got, f) == pytest.approx(getattr(eph, f)), f
+
+    # effectivity: event at end of day 7 of full week 2389 (85 mod 256)
+    assert got.leap_seconds(2380, 0.0) == 18        # well before
+    assert got.leap_seconds(2389, 7 * 86400 - 1) == 18  # 1 s before
+    assert got.leap_seconds(2389, 7 * 86400) == 19  # at the event
+    assert got.leap_seconds(2395, 1000.0) == 19     # after
+    # the fractional A0/A1 term is tiny but present
+    off = got.utc_offset_s(2380, 586000.0)
+    assert abs(off - 18.0) < 1e-5 and off != 18.0
+    # no page 18 ingested -> offset is 0 (synthetic-scene default)
+    assert ne.Ephemeris().leap_seconds(2380, 0.0) == 0
+
+
+def test_resolve_week():
+    """Mod-1024 week disambiguation (the reference stores the raw
+    field, c/ephemeris.cpp:36-44, and aliases dates into 1980+w)."""
+    # pivot heuristic: smallest full week >= 2048 (the 2019 rollover)
+    assert ne.resolve_week(297) == 2345          # 2024-era capture
+    assert ne.resolve_week(1023) == 2047 + 1024  # wraps up past pivot
+    assert ne.resolve_week(0) == 2048
+    # already-full weeks pass through (synthetic scenes use them)
+    assert ne.resolve_week(2345) == 2345
+    # a wall-clock hint picks the nearest congruent week instead
+    assert ne.resolve_week(297, hint_week=2400) == 2345
+    assert ne.resolve_week(297, hint_week=3400) == 3369
+    assert ne.resolve_week(900, hint_week=1000) == 900   # pre-rollover
+
+
 def test_iono_wrong_page_ignored():
     eph = ne.Ephemeris()
     eph.alpha = (1e-8,) * 4

@@ -159,6 +159,44 @@ def test_emit_time_and_date():
     assert t.hour == 12 and t.minute == 0 and t.second == 5
 
 
+def test_broadcast_leap_seconds_shift_nmea_time():
+    """Decoded page-18 ΔtLS drives the NMEA clock: encode the broadcast
+    UTC page, ingest it, and the emitted GGA/RMC timestamps shift by
+    ΔtLS relative to the leap-less burst (the reference hardcodes
+    nothing here because it never emits NMEA; its monitors trust the
+    u-blox to apply the broadcast value)."""
+    from tpu_gnss.cli import nmea_out
+    from tpu_gnss.nav import bits as nb
+    from tpu_gnss.nav import ephemeris as ne
+
+    src = ne.Ephemeris(iodc=9, iode2=9, iode3=9)
+    src.delta_t_ls = 18.0
+    src.wn_lsf = 85.0   # event safely in the past of week 2345 mod 256
+    src.dn_utc = 1.0
+    src.delta_t_lsf = 18.0
+    frames = ne.encode_subframes(src, tow_start=100, sids=(4,))
+    eph = ne.Ephemeris()
+    eph.ingest(nb.check_subframe(frames[0], 0, 0))
+    assert eph.has_utc and eph.delta_t_ls == 18.0
+
+    sol = _fake_solution()
+    t0 = nmea_out.gps_to_utc(2345, sol.t_rx, leap_s=0)
+    t18 = nmea_out.gps_to_utc(2345, sol.t_rx, leap_s=18)
+    assert (t0 - t18).total_seconds() == 18.0
+    burst = nmea_out.solution_burst(sol, week=2345, eph=eph)
+    gga = next(s for s in burst if s.startswith("$GPGGA"))
+    hms = gga.split(",")[1]
+    assert hms.startswith(
+        f"{t18.hour:02d}{t18.minute:02d}{t18.second:02d}"), gga
+
+    # the receiver-attached form: _solve_at stores sol.leap_s directly
+    sol2 = _fake_solution()
+    sol2.week = 2345
+    sol2.leap_s = 18
+    burst2 = nmea_out.solution_burst(sol2)
+    assert next(s for s in burst2 if s.startswith("$GPGGA")) == gga
+
+
 def test_compare_tracks_closes_loop(tmp_path):
     """fixes -> NMEA file -> monitor state -> compare_tracks ~ 0."""
     from tpu_gnss.cli import nmea_out

@@ -108,6 +108,48 @@ def test_receiver_packed_path_equals_bits_path(tmp_path, rng):
                                    rtol=2e-4, atol=1e-3)
 
 
+def test_final_partial_chunk_not_dropped(tmp_path, rng):
+    """A capture whose length is not a chunk multiple keeps its tail.
+
+    The final partial chunk's whole epochs must reach the tracker on
+    every source path (1-bit packed, 1-bit bits, 8-bit IQ): dropping
+    them cost the last subframe of long-chunk runs (the BENCH_e2e
+    ``int4_chunk8`` zero-fix row — chunk_s=8 on a 20 s capture lost 4 s
+    and with it the third subframe every fix needs).
+    """
+    from tpu_gnss.receiver import Receiver
+
+    fs = SMALL.fs
+    p = round(fs * 1e-3)
+    svs = [synth.SvSignal(prn=9, doppler_hz=500.0, code_phase_chips=300.0)]
+    # 2.5 s + 128 samples: chunk_s=1.0 leaves a 0.5 s partial final
+    # chunk whose sample count is NOT whole epochs — exercising both
+    # the partial-source yield and the receiver's packed fallback
+    n = int(2.5 * fs) + 128
+    iq = synth.synth_baseband(svs, fs, n, noise_std=0.3, seed=7)
+    bits = synth.baseband_to_1bit_if(iq, SMALL.fc, fs)
+    path = tmp_path / "cap.bin"
+    path.write_bytes(loaders.pack_1bit(bits))
+
+    want_epochs = (n // p // 10) * 10   # whole tracking steps (eps=10)
+    res = Receiver(SMALL).process_source(
+        stream.FileSource1Bit(str(path), SMALL), chunk_s=1.0)
+    assert [r.n_epochs for r in res.channels] == \
+        [want_epochs] * len(res.channels), "packed path lost the tail"
+
+    # 8-bit IQ file path (rawiq uplink)
+    iq8 = tmp_path / "cap_iq8.bin"
+    raw = np.empty(2 * n, np.int8)
+    scale = 100.0 / max(np.abs(iq.real).max(), np.abs(iq.imag).max())
+    raw[0::2] = np.clip(np.rint(iq.real * scale), -127, 127)
+    raw[1::2] = np.clip(np.rint(iq.imag * scale), -127, 127)
+    raw.tofile(iq8)
+    res8 = Receiver(SMALL).process_source(
+        stream.IQFileSource(str(iq8), fs), chunk_s=1.0)
+    assert [r.n_epochs for r in res8.channels] == \
+        [want_epochs] * len(res8.channels), "rawiq path lost the tail"
+
+
 def test_receiver_process_source_smoke():
     """Streaming receiver over a synth source: acquires and tracks."""
     from tpu_gnss.receiver import Receiver

@@ -26,14 +26,12 @@ from ..pvt.solve import Solution, lat_lon_alt
 #: GPS epoch for week/TOW -> calendar conversion.
 GPS_EPOCH = datetime.datetime(1980, 1, 6, tzinfo=datetime.timezone.utc)
 
-#: GPS-UTC leap seconds (broadcast in subframe 4 page 18; the framework's
-#: synthetic scenes don't model leap seconds, so 0 keeps roundtrips exact;
-#: real captures should pass the current offset, 18 as of 2026).
+#: GPS-UTC leap-second fallback, used only when no broadcast page-18 UTC
+#: parameters are available (``Ephemeris.has_utc`` False).  The framework's
+#: synthetic scenes default to ΔtLS=0 so roundtrips stay exact; on real
+#: sky data the broadcast value (18 as of 2026) is decoded and drives the
+#: timestamps instead (see ``Ephemeris.leap_seconds``).
 DEFAULT_LEAP_S = 0
-
-#: Subframe-1 week numbers are mod-1024; this base lands them in the
-#: current era (weeks 2048-3071 = 2019-2039).
-WEEK_ROLLOVER_BASE = 2048
 
 
 def checksum(body: str) -> str:
@@ -64,16 +62,22 @@ def _lon_str(lon_deg: float) -> tuple[str, str]:
 
 
 def gps_to_utc(week: Optional[int], tow_s: float,
-               leap_s: int = DEFAULT_LEAP_S) -> datetime.datetime:
+               leap_s: float = DEFAULT_LEAP_S,
+               hint_week: Optional[int] = None) -> datetime.datetime:
     """(week, time-of-week) -> UTC datetime.
 
-    ``week`` may be the raw mod-1024 subframe-1 value (rolled into the
-    current era) or None (epoch date; time-of-day still correct mod 1 day).
+    ``week`` may be the raw mod-1024 subframe-1 value — it is resolved
+    to a full week via :func:`tpu_gnss.nav.ephemeris.resolve_week`
+    (pivot heuristic, or nearest to ``hint_week`` when given; the
+    reference keeps the raw field and aliases dates into 1980+week%1024,
+    c/ephemeris.cpp:36-44) — or None (epoch date; time-of-day still
+    correct mod 1 day).
     """
+    from ..nav.ephemeris import resolve_week
     if week is None:
         week = 0
-    elif week < 1024:
-        week = week + WEEK_ROLLOVER_BASE
+    else:
+        week = resolve_week(int(week), hint_week=hint_week)
     t = GPS_EPOCH + datetime.timedelta(weeks=int(week),
                                        seconds=float(tow_s) - leap_s)
     return t
@@ -186,16 +190,38 @@ def gst(t_utc: datetime.datetime, sigma_m: float) -> str:
 
 
 # ----------------------------------------------------------------------
+def broadcast_leap_s(eph, week: Optional[int], tow_s: float) -> float:
+    """Leap seconds for a fix: the broadcast page-18 value when ``eph``
+    carries one, else :data:`DEFAULT_LEAP_S`."""
+    if eph is not None and getattr(eph, "has_utc", False):
+        from ..nav.ephemeris import resolve_week
+        w = resolve_week(int(week)) if week is not None else 0
+        return eph.leap_seconds(w, tow_s)
+    return DEFAULT_LEAP_S
+
+
 def solution_burst(sol: Solution, week: Optional[int] = None,
                    sats: Optional[Sequence[dict]] = None,
-                   leap_s: int = DEFAULT_LEAP_S) -> list[str]:
+                   leap_s: Optional[float] = None,
+                   eph=None) -> list[str]:
     """Render one fix into its NMEA sentence group.
 
     ``sats``: optional satellite table [{prn, elev_deg, az_deg,
     cn0_dbhz}]; defaults to whatever the receiver attached to the
     solution (``sol.sats`` / ``sol.dops``, set by
-    :meth:`tpu_gnss.receiver.Receiver._solve_at`).
+    :meth:`tpu_gnss.receiver.Receiver._solve_at`).  ``week``/``leap_s``
+    None defer first to what the receiver attached to the solution
+    (``sol.week`` raw subframe-1 week, ``sol.leap_s`` broadcast page-18
+    value), then to the broadcast value from ``eph`` (any
+    :class:`~tpu_gnss.nav.ephemeris.Ephemeris` that ingested page 18)
+    or :data:`DEFAULT_LEAP_S`.
     """
+    if week is None:
+        week = getattr(sol, "week", None)
+    if leap_s is None:
+        leap_s = getattr(sol, "leap_s", None)
+    if leap_s is None:
+        leap_s = broadcast_leap_s(eph, week, sol.t_rx)
     t_utc = gps_to_utc(week, sol.t_rx, leap_s)
     sats = sats if sats is not None else getattr(sol, "sats", None)
     dops = getattr(sol, "dops", None) or {}
@@ -216,13 +242,15 @@ def solution_burst(sol: Solution, week: Optional[int] = None,
 
 def write_track(path: str, solutions: Sequence[Solution],
                 week: Optional[int] = None,
-                leap_s: int = DEFAULT_LEAP_S) -> int:
+                leap_s: Optional[float] = None, eph=None) -> int:
     """Write an NMEA track file from a solution list; returns sentence
-    count.  The output feeds ``cli.nmea`` (monitor / compare_tracks)."""
+    count.  The output feeds ``cli.nmea`` (monitor / compare_tracks).
+    ``leap_s``/``eph`` as in :func:`solution_burst`."""
     n = 0
     with open(path, "w") as f:
         for sol in solutions:
-            for s in solution_burst(sol, week=week, leap_s=leap_s):
+            for s in solution_burst(sol, week=week, leap_s=leap_s,
+                                    eph=eph):
                 f.write(s + "\r\n")
                 n += 1
     return n

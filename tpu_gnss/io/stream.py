@@ -86,9 +86,14 @@ class FileSource1Bit(SampleSource):
         with open(self.path, "rb") as f:
             while True:
                 raw = f.read(block_len // 8)
+                # the FINAL partial block is yielded too: a capture
+                # whose length is not a chunk multiple must not lose its
+                # tail — it can hold the last subframe a fix needs (the
+                # receiver processes the whole epochs it contains)
+                if raw:
+                    yield loaders.unpack_1bit(raw)
                 if len(raw) < block_len // 8:
                     return
-                yield loaders.unpack_1bit(raw)
 
     def packed_blocks(self, block_len: int) -> Iterator[np.ndarray]:
         """Packed uint32 word blocks — the file's own bytes, zero-copy.
@@ -103,9 +108,10 @@ class FileSource1Bit(SampleSource):
         with open(self.path, "rb") as f:
             while True:
                 raw = f.read(block_len // 8)
+                if raw:   # final partial chunk included (see bit_blocks)
+                    yield packed_words_from_file_bytes(raw)
                 if len(raw) < block_len // 8:
                     return
-                yield packed_words_from_file_bytes(raw)
 
     def blocks(self, block_len: int) -> Iterator[np.ndarray]:
         assert block_len % 8 == 0
@@ -113,15 +119,16 @@ class FileSource1Bit(SampleSource):
         with open(self.path, "rb") as f:
             while True:
                 raw = f.read(block_len // 8)
+                if raw:   # final partial chunk included (see bit_blocks)
+                    bits = loaders.unpack_1bit(raw)
+                    # one source of truth for the front-end mix (loaders);
+                    # phase restarts per block or runs continuously
+                    yield loaders.mix_1bit_block(
+                        bits, self.cfg,
+                        sample0=0 if self.per_block_phase else sample0)
+                    sample0 += 8 * len(raw)
                 if len(raw) < block_len // 8:
                     return
-                bits = loaders.unpack_1bit(raw)
-                # one source of truth for the front-end mix (loaders);
-                # phase restarts per block or runs continuously
-                yield loaders.mix_1bit_block(
-                    bits, self.cfg,
-                    sample0=0 if self.per_block_phase else sample0)
-                sample0 += block_len
 
 
 class IQFileSource(SampleSource):
@@ -149,9 +156,13 @@ class IQFileSource(SampleSource):
         with open(self.path, "rb") as f:
             while True:
                 raw = f.read(2 * block_len)
+                if raw:   # final partial chunk included (see
+                    # FileSource1Bit.bit_blocks); truncated to whole
+                    # I/Q sample pairs
+                    yield np.frombuffer(
+                        raw[: 2 * (len(raw) // 2)], dtype=item)
                 if len(raw) < 2 * block_len:
                     return
-                yield np.frombuffer(raw, dtype=item)
 
     def blocks(self, block_len: int) -> Iterator[np.ndarray]:
         for raw in self.raw_blocks(block_len):

@@ -72,6 +72,44 @@ IONO_FIELDS = {
     "beta3":  (4, [(5, 17, 24)], True, 2.0 ** 16),
 }
 
+# Subframe 4 page 18, second half: broadcast UTC parameters
+# (ICD 20.3.3.5.1.6 / Table 20-IX).  The reference stops at beta
+# (c/ephemeris.cpp:70-83) and never learns GPS-UTC leap seconds; decoding
+# these lets NMEA timestamps carry true UTC on real sky data.
+UTC_FIELDS = {
+    "a1_utc":      (4, [(6, 1, 24)], True, 2.0 ** -50),            # s/s
+    "a0_utc":      (4, [(7, 1, 24), (8, 1, 8)], True, 2.0 ** -30),  # s
+    "t_ot":        (4, [(8, 9, 16)], False, 2.0 ** 12),             # s
+    "wn_t":        (4, [(8, 17, 24)], False, 1.0),                  # weeks
+    "delta_t_ls":  (4, [(9, 1, 8)], True, 1.0),                     # s
+    "wn_lsf":      (4, [(9, 9, 16)], False, 1.0),                   # weeks
+    "dn_utc":      (4, [(9, 17, 24)], False, 1.0),                  # days 1-7
+    "delta_t_lsf": (4, [(10, 1, 8)], True, 1.0),                    # s
+}
+
+#: Earliest full GPS week the framework assumes a capture can come from
+#: (week 2048 = the April-2019 rollover).  Raw subframe-1 weeks are
+#: mod-1024; resolving against this pivot lands them in 2019-2039.
+MIN_FULL_WEEK = 2048
+
+
+def resolve_week(week10: int, hint_week: Optional[int] = None) -> int:
+    """Resolve a 10-bit (mod-1024) subframe-1 week to a full GPS week.
+
+    The reference stores the raw field and never disambiguates
+    (c/ephemeris.cpp:36-44), so its dates alias into 1980+week%1024.
+    With ``hint_week`` (e.g. from the host wall clock at capture time)
+    the nearest congruent week is chosen; otherwise the smallest full
+    week >= :data:`MIN_FULL_WEEK`.
+    """
+    w = int(week10)
+    if w >= 1024:
+        return w                      # already a full week (synth scenes)
+    if hint_week is not None:
+        n = int(round((int(hint_week) - w) / 1024.0))
+        return w + 1024 * max(0, n)
+    return w + 1024 * ((MIN_FULL_WEEK - w + 1023) // 1024)
+
 
 def _get_bits(data240: np.ndarray, segs) -> int:
     """Extract a (possibly multi-word) raw unsigned value."""
@@ -154,6 +192,16 @@ class Ephemeris:
     tow: int = 0
     alpha: tuple = (0.0, 0.0, 0.0, 0.0)
     beta: tuple = (0.0, 0.0, 0.0, 0.0)
+    # broadcast UTC parameters (page 18 second half; UTC_FIELDS)
+    a0_utc: float = 0.0
+    a1_utc: float = 0.0
+    t_ot: float = 0.0
+    wn_t: float = 0.0
+    delta_t_ls: float = 0.0
+    wn_lsf: float = 0.0
+    dn_utc: float = 0.0
+    delta_t_lsf: float = 0.0
+    has_utc: bool = False
 
     # ------------------------------------------------------------------
     def valid(self) -> bool:
@@ -183,6 +231,10 @@ class Ephemeris:
                 self.beta = tuple(
                     decode_field(data240, f"beta{i}", IONO_FIELDS)
                     for i in range(4))
+                for name in UTC_FIELDS:
+                    setattr(self, name,
+                            decode_field(data240, name, UTC_FIELDS))
+                self.has_utc = True
         return sid
 
     # ------------------------------------------------------------------
@@ -272,6 +324,44 @@ class Ephemeris:
                       for k in (-2, -1, 1, 2)])
         return float((c[0] - 8.0 * c[1] + 8.0 * c[2] - c[3]) / (12.0 * h))
 
+    # ------------------------------------------------------------------
+    def leap_seconds(self, week: int, tow_s: float) -> int:
+        """GPS-UTC integer offset at (full week, TOW) from the broadcast
+        page-18 parameters (ICD 20.3.3.5.2.4 effectivity rule).
+
+        Before the end of day DN of week WN_LSF the current offset
+        ΔtLS applies; at/after that epoch the future offset ΔtLSF does.
+        WN_LSF is an 8-bit field, resolved mod-256 to the nearest
+        congruent week.  Returns 0 when no page 18 has been ingested
+        (the reference never decodes these at all,
+        c/ephemeris.cpp:70-83).
+        """
+        if not self.has_utc:
+            return 0
+        week = int(week)
+        d = (int(self.wn_lsf) - week) % 256
+        wn_lsf_full = week + (d - 256 if d > 127 else d)
+        # DN in 1..7; the leap takes effect at the END of that day
+        t_event = wn_lsf_full * SECONDS_PER_WEEK + int(self.dn_utc) * 86400.0
+        t_now = week * SECONDS_PER_WEEK + float(tow_s)
+        return int(self.delta_t_lsf if t_now >= t_event
+                   else self.delta_t_ls)
+
+    def utc_offset_s(self, week: int, tow_s: float) -> float:
+        """Full GPS-UTC offset Δt_UTC = ΔtLS + A0 + A1·(t - t_ot +
+        604800·(WN - WN_t)) (ICD 20.3.3.5.2.4 eq. 1).  The A0/A1 drift
+        term is sub-microsecond; :meth:`leap_seconds` carries the part
+        NMEA timestamps need."""
+        if not self.has_utc:
+            return 0.0
+        week = int(week)
+        d = (int(self.wn_t) - week) % 256
+        wn_t_full = week + (d - 256 if d > 127 else d)
+        dt = (float(tow_s) - self.t_ot
+              + SECONDS_PER_WEEK * (week - wn_t_full))
+        return (self.leap_seconds(week, tow_s)
+                + self.a0_utc + self.a1_utc * dt)
+
 
 # ---------------------------------------------------------------------------
 # Encoder (test-fixture factory: the reference has no equivalent)
@@ -319,6 +409,8 @@ def encode_subframes(eph: Ephemeris, tow_start: int,
             for i in range(4):
                 put(f"alpha{i}", eph.alpha[i], IONO_FIELDS)
                 put(f"beta{i}", eph.beta[i], IONO_FIELDS)
+            for name in UTC_FIELDS:   # second half: broadcast UTC
+                put(name, getattr(eph, name), UTC_FIELDS)
         # Words 2 and 10 end with D29=D30=0 per ICD, solved via the two
         # reserved t-bits (d23,d24) — this is what lets every subframe be
         # parity-seeded fresh from the preamble polarity.

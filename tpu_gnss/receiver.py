@@ -580,11 +580,17 @@ class Receiver:
             s0 = xfer_state["sample0"]
             xfer_state["sample0"] = s0 + n_ep * p
             with METRICS.stage("receiver.transfer"):
-                if use_packed:
-                    # full word-aligned chunks by construction; device
-                    # unpack+mix of the file's own packed words
-                    assert n_ep * p == n_samp
+                if use_packed and n_ep * p == n_samp:
+                    # full word-aligned chunks: device unpack+mix of
+                    # the file's own packed words
                     seg = self._mix_chunk_packed(blk, s0)
+                elif use_packed:
+                    # final PARTIAL chunk (not whole epochs): unpack on
+                    # host, trim to whole epochs, ship as bits — a
+                    # one-off at stream end, not worth a kernel shape
+                    from .io import loaders as _ld
+                    bits = _ld.unpack_1bit(blk.tobytes())[: n_ep * p]
+                    seg = self._transfer(bits, True, s0)
                 elif use_rawiq:
                     from .utils.xfer import to_device_iq4, to_device_iq8
                     fn = (to_device_iq4 if self.transfer_dtype == "int4"
@@ -1329,6 +1335,18 @@ class Receiver:
             excluded_rec = (used[excl], t_tx[excl])
             for lst in (t_tx, ephs, weights, dops, used):
                 del lst[excl]
+        # calendar context for NMEA emission: the subframe-1 week (raw
+        # mod-1024; cli.nmea_out resolves it) and the broadcast GPS-UTC
+        # leap seconds when any used SV delivered page 18 — so live
+        # bursts carry true UTC without the caller re-deriving either
+        sol.week = int(ephs[0].week) if ephs else None
+        utc_eph = next((e for e in ephs if e.has_utc), None)
+        if utc_eph is not None and sol.week is not None:
+            from .nav.ephemeris import resolve_week
+            sol.leap_s = utc_eph.leap_seconds(
+                resolve_week(sol.week), sol.t_rx)
+        else:
+            sol.leap_s = None
         # satellite view + DOPs for NMEA emission (cli.nmea_out)
         from .cli.nmea_out import sat_geometry
         sv = np.array([e.get_xyz(t) for e, t in zip(ephs, t_tx)])
