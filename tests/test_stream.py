@@ -501,6 +501,42 @@ def test_receiver_int4_uplink_tracks_like_int8(tmp_path, rng):
         assert rel < 0.05, f"int4 path diverged: rel={rel:.3f}"
 
 
+def test_receiver_int2_uplink_tracks_like_int8(tmp_path, rng):
+    """The 2-bit sign/magnitude link mode (16x less traffic than the
+    float planes, 4x less than native bytes) finds the same SVs and
+    tracks within its ~0.55 dB quantization budget."""
+    from tpu_gnss.receiver import Receiver
+
+    fs = SMALL.fs
+    svs = [synth.SvSignal(prn=9, doppler_hz=500.0, code_phase_chips=300.0),
+           synth.SvSignal(prn=17, doppler_hz=-1200.0, code_phase_chips=10.0)]
+    iq = synth.synth_baseband(svs, fs, int(2.0 * fs), noise_std=0.4, seed=4)
+    scale = 40.0 / np.abs(iq).max()
+    raw = np.empty(2 * len(iq), np.int8)
+    raw[0::2] = np.clip(np.rint(iq.real * scale), -127, 127)
+    raw[1::2] = np.clip(np.rint(iq.imag * scale), -127, 127)
+    path = tmp_path / "cap_iq8.bin"
+    raw.tofile(path)
+
+    res8 = Receiver(SMALL).process_source(
+        stream.IQFileSource(str(path), fs, remove_dc=False), chunk_s=1.0)
+    res2 = Receiver(SMALL, transfer_dtype="int2").process_source(
+        stream.IQFileSource(str(path), fs, remove_dc=False), chunk_s=1.0)
+
+    assert ([d["prn"] for d in res2.detections]
+            == [d["prn"] for d in res8.detections])
+    for a, b in zip(res2.channels, res8.channels):
+        assert (a.prn, a.start_epoch) == (b.prn, b.start_epoch)
+        ia, ib = np.asarray(a.ip_hist), np.asarray(b.ip_hist)
+        # 2-bit quantization noise decorrelates the prompt history more
+        # than int4's, but the NAV bit signs and lock must survive; a
+        # 0.55 dB SNR loss bounds the relative deviation well under 25%
+        rel = np.linalg.norm(ia - ib) / np.linalg.norm(ib)
+        assert rel < 0.25, f"int2 path diverged: rel={rel:.3f}"
+        assert (np.mean(np.sign(ia[200:]) == np.sign(ib[200:]))
+                > 0.98), "NAV bit signs diverged on the int2 path"
+
+
 def test_follow_source_reads_fifo(tmp_path):
     """The live source also drains a named pipe (rtl_sdr | converter |
     receiver style plumbing): blocking reads as flow control, clean EOF

@@ -140,8 +140,11 @@ iq_results = {}
 # the chunk_s=8 int4 row is a fixed-cost probe: if the path were purely
 # link-bound, halving the bytes (int4 vs int8) would ~double realtime;
 # it doesn't, so per-chunk fixed costs bind — doubling the chunk halves
-# the per-chunk count and exposes how much of the floor they are
+# the per-chunk count and exposes how much of the floor they are.
+# int2 is the 2-bit sign/magnitude GNSS-ADC link mode (4 components/
+# byte — half of int4's traffic, ~0.55 dB quantization budget).
 for label, dtype, ch_s in (("int8", "int8", 4.0), ("int4", "int4", 4.0),
+                           ("int2", "int2", 4.0),
                            ("int4_chunk8", "int4", 8.0)):
     walls_iq = []
     for attempt in range(2):
@@ -170,6 +173,40 @@ for label, dtype, ch_s in (("int8", "int8", 4.0), ("int4", "int4", 4.0),
     print(f"iq[{label}]: {iq_results[label]}", flush=True)
 walls_iq = [iq_results["int8"]["wall_s"]]
 
+# ---------------------------------------------------------------------
+# Cold TTFF probes in FRESH processes (tools/ttff_probe.py): the
+# headline cold number follows the reference's boot-once cost model
+# (FPGA bitstream load per power-up, c/main.cpp:14-38) — process start
+# to first fix with the persistent compile cache HOT (the passes above
+# seeded it).  The first-ever-boot number (empty cache dir -> full
+# trace+compile) is reported separately as ttff_coldcache_s.
+import subprocess, tempfile
+
+
+def run_ttff_probe(env_extra, tag):
+    env = dict(os.environ, **env_extra)
+    r = subprocess.run(
+        [sys.executable, "-u", os.path.join(os.path.dirname(
+            os.path.abspath(__file__)), "ttff_probe.py"),
+         bit_path, str(E.FS)],
+        capture_output=True, text=True, timeout=600, env=env)
+    line = next((ln for ln in r.stdout.splitlines()
+                 if ln.startswith("TTFF_RESULT ")), None)
+    if line is None:
+        print(f"ttff probe [{tag}] FAILED:\n{r.stdout[-2000:]}\n"
+              f"{r.stderr[-2000:]}", flush=True)
+        return None
+    probe = json.loads(line[len("TTFF_RESULT "):])
+    print(f"ttff probe [{tag}]: {probe}", flush=True)
+    return probe
+
+
+import json
+probe_hot = run_ttff_probe({}, "hot persistent cache")
+with tempfile.TemporaryDirectory(prefix="jaxcache_cold_") as cold_dir:
+    probe_cold = run_ttff_probe(
+        {"JAX_COMPILATION_CACHE_DIR": cold_dir}, "empty persistent cache")
+
 wall = wall_headline
 print(f"detections: {[(d['prn'], round(d['snr'])) for d in res.detections]}")
 print(f"solutions: {len(res.solutions)}")
@@ -181,13 +218,25 @@ if res.solutions:
           f"(lat {s.lat_deg:.5f} lon {s.lon_deg:.5f} alt {s.alt_m:.0f})")
 print(metrics.METRICS.report())
 
-import json
 artifact = dict(metric="e2e_realtime_factor",
                 value=round(duration / wall, 2), unit="x_realtime",
                 wall_s=round(wall, 2), capture_s=duration,
                 cold_wall_s=round(walls[0], 2),
-                ttff_cold_s=(round(ttffs[0], 2)
-                             if ttffs[0] is not None else None),
+                # ttff_cold_s: FRESH process, hot persistent compile
+                # cache (boot-once model; tools/ttff_probe.py),
+                # receiver construction -> first fix (the round-4
+                # convention; the _detail dicts also carry ttff_s from
+                # true process start incl. jax import).
+                # ttff_coldcache_s: same probe with an EMPTY cache dir
+                # (first-ever boot, full compile).
+                # ttff_inprocess_pass0_s: this process's first pass
+                # (cache state = whatever the host had).
+                ttff_cold_s=(probe_hot or {}).get("ttff_ctor_s"),
+                ttff_cold_detail=probe_hot,
+                ttff_coldcache_s=(probe_cold or {}).get("ttff_ctor_s"),
+                ttff_coldcache_detail=probe_cold,
+                ttff_inprocess_pass0_s=(round(ttffs[0], 2)
+                                        if ttffs[0] is not None else None),
                 ttff_warm_s=(round(ttffs[-1], 2)
                              if ttffs[-1] is not None else None),
                 instream_wall_s=round(walls[-1], 2),

@@ -141,9 +141,10 @@ def noncoherent_threshold(t1: float, k: int) -> float:
         from scipy.stats import chi2
         return float(chi2.isf(p, 2 * k) / (2 * k))
     except ImportError:
-        # Wilson-Hilferty approximation (<= ~7% high of exact for the
-        # k/t1 ranges here -- conservative): chi2_isf(p, v) ~=
-        # v * (1 - 2/(9v) + z_p * sqrt(2/(9v)))^3
+        # Wilson-Hilferty approximation (high of exact, i.e.
+        # conservative: ~+15% at k=2, shrinking to <= ~7% by k>=4 —
+        # measured by test_noncoherent_threshold_false_alarm_equalized):
+        # chi2_isf(p, v) ~= v * (1 - 2/(9v) + z_p * sqrt(2/(9v)))^3
         from statistics import NormalDist
         v = 2.0 * k
         z = NormalDist().inv_cdf(1.0 - p)
@@ -162,6 +163,18 @@ def noncoherent_threshold(t1: float, k: int) -> float:
 # inside that ambiguity and untrustworthy (the protection real
 # receivers apply).  The k=1 threshold of 25 needs no guard: the
 # reference chose it to sit above the single-block cross floor.
+#
+# SENSITIVITY CAP (accepted trade-off): because the guard floor scales
+# with the sweep's strongest SNR, an accumulated (k>1) sweep in a
+# strong-signal scene cannot report genuine SVs >13 dB below the
+# strongest — they are indistinguishable from its cross floor without
+# the stronger signal's cancellation, which this engine does not
+# attempt.  In a DIRECTED subset sweep the reference maximum spans only
+# the swept PRNs, so a strong out-of-subset SV does not raise the
+# guard; the receiver mitigates by retiring the directed searcher
+# after the cold start (receiver._cold_detections) so steady-state
+# re-acquisition always sweeps — and guards against — the full
+# constellation.
 CROSS_GUARD = 1.0 / 20.0
 
 
@@ -636,12 +649,23 @@ class FoldedSearcher:
         self.period = int(cfg.fs / 1000)
         self.block_len = self.period * n_coherent
         self.nf = fft_len_for_period(self.period)
-        self.code_ffts_p = _code_ffts_device(cfg.fs, tuple(cfg.prns),
-                                             self.nf)
         if dop_spacing_hz is None:
             dop_spacing_hz = min(cfg.dop_bin_hz, 1000.0 / n_coherent)
         self.dops_hz = jnp.asarray(doppler_grid_hz(cfg, dop_spacing_hz))
         self.dop_chunk = min(dop_chunk, len(self.dops_hz))
+
+    @property
+    def code_ffts_p(self):
+        """Device replica spectra, built LAZILY on first use.
+
+        The FFT-compile + upload (~0.5 s over a tunneled link) then
+        happens in the receiver's prewarm thread, overlapped with
+        first-chunk I/O, instead of inside the Receiver constructor on
+        the cold-TTFF critical path.  Shared across instances
+        (_code_ffts_device is keyed on (fs, prns, nf)).
+        """
+        return _code_ffts_device(self.cfg.fs, tuple(self.cfg.prns),
+                                 self.nf)
 
     # ------------------------------------------------------------------
     def _prep(self, bits, iq, n_noncoherent: int):
@@ -787,12 +811,18 @@ class FoldedSearcher:
         samples, from_bits = self._prep(bits, iq, n_noncoherent)
         cw_r, cw_i = self.mxu_code_planes()
         interp = jax.devices()[0].platform not in ("tpu", "axon")
-        stacked = acquire_refined_mxu(
-            samples, cw_r, cw_i, self.code_ffts_p, self.dops_hz,
-            fs=self.cfg.fs, lo_rate=self.cfg.lo_rate,
-            n_coherent=self.n_coherent, n_noncoherent=n_noncoherent,
-            dop_chunk=self.dop_chunk, from_bits=from_bits,
-            period=self.period, nf=self.nf, interpret=interp)
+        # routed through the exported-program cache: a fresh process
+        # skips the 2.9 s trace+load this program costs even with a hot
+        # XLA compile cache (utils.progcache; identical math either way)
+        from ..utils import progcache
+        stacked = progcache.call(
+            "acq_refined_mxu", acquire_refined_mxu,
+            args=(samples, cw_r, cw_i, self.code_ffts_p, self.dops_hz),
+            static_kwargs=dict(
+                fs=self.cfg.fs, lo_rate=self.cfg.lo_rate,
+                n_coherent=self.n_coherent, n_noncoherent=n_noncoherent,
+                dop_chunk=self.dop_chunk, from_bits=from_bits,
+                period=self.period, nf=self.nf, interpret=interp))
         return self._dets_from_stack(stacked, skip_prns, n_noncoherent)
 
     def detections_refined_sharded(self, bits=None, iq=None,
@@ -835,8 +865,12 @@ class FoldedSearcher:
         thr = noncoherent_threshold(self.cfg.snr_threshold, n_noncoherent)
         snr, dop, ca = np.asarray(stacked)
         # near-far reference: strongest over ALL PRNs (a tracked-and-
-        # skipped strong SV still pollutes the others' cross floor)
-        smax = float(np.nanmax(snr)) if len(snr) else 0.0
+        # skipped strong SV still pollutes the others' cross floor).
+        # A degenerate head (all-zero input) makes every SNR NaN; the
+        # guard reference is then 0 — no warning-throwing all-NaN
+        # nanmax, and the NaN-safe threshold below rejects every row.
+        finite = snr[np.isfinite(snr)]
+        smax = float(finite.max()) if finite.size else 0.0
         out = []
         for i, prn in enumerate(self.cfg.prns):
             # NaN-safe inclusion test: a degenerate (e.g. all-zero) head
@@ -886,7 +920,8 @@ class FoldedSearcher:
         snr = np.asarray(res.snr)
         dop = np.asarray(res.doppler_hz)
         ca = np.asarray(res.ca_shift)
-        smax = float(np.nanmax(snr)) if len(snr) else 0.0
+        finite = snr[np.isfinite(snr)]
+        smax = float(finite.max()) if finite.size else 0.0
         out = []
         for i, prn in enumerate(self.cfg.prns):
             if (snr[i] >= thr

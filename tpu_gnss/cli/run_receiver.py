@@ -58,6 +58,11 @@ def main(argv=None) -> int:
     p.add_argument("--no-directed", action="store_true",
                    help="disable the almanac-directed search even when "
                         "the warm-start checkpoint could support it")
+    p.add_argument("--tow", type=float, default=None, metavar="SEC",
+                   help="override the GPS time-of-week used for the "
+                        "almanac visibility prediction (default: the "
+                        "checkpoint's fix TOW advanced by elapsed wall "
+                        "time)")
     p.add_argument("--nmea-out", default=None, metavar="FILE.nmea",
                    help="write fixes as NMEA GGA/GSA/GSV/RMC/VTG/GST "
                         "sentences (feed to cli.nmea monitor/compare)")
@@ -181,8 +186,26 @@ def main(argv=None) -> int:
         alms = state.get("almanac")
         last = (state.get("meta") or {}).get("last_fix")
         if not args.no_directed and alms and last:
+            import time as _time
+
             from ..nav.almanac import visible_prns
-            pred = visible_prns(alms, last["ecef"], float(last["tow"]),
+            # the stored TOW is the PREVIOUS session's time: predict at
+            # the checkpoint time + elapsed wall clock, not at a time
+            # hours in the past (sky geometry shifts ~0.5 deg/min).
+            # Checkpoints without a wall timestamp can't be aged —
+            # prediction still runs at the stored TOW (margin_s covers
+            # a short restart) but says so.
+            tow = float(last["tow"])
+            wall = last.get("wall")
+            if args.tow is not None:
+                tow = float(args.tow)
+            elif wall is not None:
+                age = max(0.0, _time.time() - float(wall))
+                tow = (tow + age) % 604800.0
+                if age > 60.0:
+                    print(f"warm start: advancing visibility time by "
+                          f"{age/60.0:.1f} min since checkpoint")
+            pred = visible_prns(alms, last["ecef"], tow,
                                 mask_deg=5.0, margin_s=1800.0)
             # only a non-empty PROPER subset actually directs the sweep
             # (process_source discards anything else) — say which it is
@@ -297,11 +320,16 @@ def main(argv=None) -> int:
 
     if args.checkpoint:
         from ..utils.checkpoint import save_state
+        import time as _time
         meta = dict(fs=cfg.fs, fc=cfg.fc, file=args.filename)
         if result.solutions:
             s = result.solutions[-1]
+            # wall timestamp lets the next session age the TOW before
+            # predicting visibility (a restart hours later must not
+            # sweep yesterday's sky)
             meta["last_fix"] = dict(ecef=[s.x, s.y, s.z],
-                                    tow=float(s.t_rx))
+                                    tow=float(s.t_rx),
+                                    wall=_time.time())
         save_state(args.checkpoint,
                    ephemerides={r.prn: r.eph for r in result.channels
                                 if r.eph.valid()},

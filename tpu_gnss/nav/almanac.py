@@ -216,17 +216,25 @@ def visible_prns(almanacs: dict[int, Almanac], rx_ecef, t: float,
                  ) -> list[int]:
     """PRNs predicted above ``mask_deg`` elevation at time-of-week ``t``.
 
-    ``margin_s`` widens the check to [t, t + margin_s] (a long planned
-    session keeps SVs that will RISE during it).  Unknown/unhealthy SVs
-    are omitted — the caller decides whether to fall back to a full
-    sweep when the directed set comes up short.
+    ``margin_s`` widens the check to [t, t + margin_s], sampled every
+    <=20 min (a GPS pass rises through a 5 deg mask in ~10 min of a
+    ~6 h arc, so a 20-min grid cannot miss a whole pass — endpoint-only
+    evaluation could skip one that rises AND sets strictly inside a
+    long margin).  A long planned session thus keeps SVs that will
+    RISE during it.  Unknown/unhealthy SVs are omitted — the caller
+    decides whether to fall back to a full sweep when the directed set
+    comes up short.
     """
+    if margin_s <= 0:
+        times = [t]
+    else:
+        n = 1 + int(np.ceil(margin_s / 1200.0))
+        times = list(t + np.linspace(0.0, margin_s, max(2, n)))
     out = []
     for prn in sorted(almanacs):
         alm = almanacs[prn]
         if not alm.valid():
             continue
-        times = [t] if margin_s <= 0 else [t, t + margin_s]
         if any(elevation_deg(alm.get_xyz(tt), rx_ecef) >= mask_deg
                for tt in times):
             out.append(prn)

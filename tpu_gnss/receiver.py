@@ -328,9 +328,11 @@ class Receiver:
         # complex-capture uplink quantization: "int8" sends quantized
         # planes (4x less traffic than float32, dequantized on device),
         # "int4" sends packed nibbles (8x less; <0.1 dB SNR cost — for
-        # tunnel-/DCN-bound links), "float32" sends exact planes.  For
-        # 8-bit capture FILES, "int8" means the file's own bytes cross
-        # the link untouched and "int4" requantizes them 2x smaller.
+        # tunnel-/DCN-bound links), "int2" sends sign/magnitude pairs
+        # (16x less; ~0.55 dB — the classic 2-bit GNSS ADC operating
+        # point), "float32" sends exact planes.  For 8-bit capture
+        # FILES, "int8" means the file's own bytes cross the link
+        # untouched; "int4"/"int2" requantize them 2x/4x smaller.
         self.transfer_dtype = transfer_dtype
         # solver inclusion gates + C/N0 weighting (probation analog,
         # reference: c/channel.cpp:39,343,363): a channel must be
@@ -395,6 +397,60 @@ class Receiver:
                 agc_thresholds=self.agc_thresholds)
 
     # ------------------------------------------------------------------
+    def _resolve_engine(self, searcher) -> str:
+        """Concrete acquisition engine for ``acq_engine`` (auto picks
+        the fused kernel on TPU, the mesh-sharded variant on a mesh)."""
+        engine = self.acq_engine
+        if engine == "auto":
+            # a mesh routes the auto engine to the sharded fused-kernel
+            # search (interpret mode off-TPU); an EXPLICIT engine choice
+            # is honored even in mesh mode (tracking stays sharded)
+            if self.mesh is not None and searcher.mxu_supported():
+                engine = "mxu_sharded"
+            else:
+                import jax
+                engine = ("mxu"
+                          if jax.devices()[0].platform in ("tpu", "axon")
+                          and searcher.mxu_supported() else "xla")
+        return engine
+
+    def _prewarm_acq(self, head_len: int, bits: bool) -> None:
+        """Compile + cache the cold-search k=1 program on dummy input.
+
+        Runs in a background thread during first-chunk I/O so the real
+        cold search finds the program compiled (in-process jit cache)
+        or at worst persisted (disk cache) — it was 5.7 s of the 9 s
+        cold time-to-first-fix, serialized behind the first read.  Only
+        the k=1 program is warmed: it alone gates cold TTFF (the weak-
+        signal escalation runs only when the sky comes up short, and
+        the background re-acq thread absorbs its compile).  All-zero
+        dummy input yields NaN SNRs -> zero detections by the NaN-safe
+        threshold, so the warmup has no side effects.
+        """
+        import os as _os
+        import time as _t
+        trace_cold = bool(_os.environ.get("TPU_GNSS_TRACE_COLD"))
+        _t0 = _t.perf_counter()
+        try:
+            searcher = self._searcher_directed or self.searcher
+            engine = self._resolve_engine(searcher)
+            head = np.zeros(head_len,
+                            np.uint8 if bits else np.complex64)
+            kw = dict(bits=head) if bits else dict(iq=head)
+            if engine == "mxu_sharded":
+                searcher.detections_refined_sharded(**kw, mesh=self.mesh)
+            elif engine == "mxu":
+                searcher.detections_refined_fast(**kw)
+            else:
+                searcher.detections_refined(searcher.power_grid(**kw), 1)
+            if trace_cold:
+                print(f"[cold] acq prewarm body "
+                      f"{_t.perf_counter()-_t0:.2f}s", flush=True)
+        except Exception as e:
+            if trace_cold:
+                print(f"[cold] acq prewarm FAILED {e!r}", flush=True)
+            # prewarm is best-effort; the real call compiles
+
     def _cold_detections(self, head, bits: bool = False,
                          skip_prns=frozenset()) -> list:
         """Refined detections for channel seeding, engine-dispatched.
@@ -417,19 +473,21 @@ class Receiver:
         later background re-acquisition must keep SVs reachable that
         rise beyond the almanac prediction's time margin.
         """
+        import os as _os
+        import time as _t
+        trace_cold = bool(_os.environ.get("TPU_GNSS_TRACE_COLD"))
         searcher = self._searcher_directed or self.searcher
-        engine = self.acq_engine
-        if engine == "auto":
-            # a mesh routes the auto engine to the sharded fused-kernel
-            # search (interpret mode off-TPU); an EXPLICIT engine choice
-            # is honored even in mesh mode (tracking stays sharded)
-            if self.mesh is not None and searcher.mxu_supported():
-                engine = "mxu_sharded"
-            else:
-                import jax
-                engine = ("mxu"
-                          if jax.devices()[0].platform in ("tpu", "axon")
-                          and searcher.mxu_supported() else "xla")
+        # a cold-search prewarm in flight compiles the SAME k=1 program
+        # this call needs: wait for it instead of compiling twice
+        t = getattr(self, "_acq_prewarm_done", None)
+        if t is not None:
+            _t0 = _t.perf_counter()
+            t.wait()
+            self._acq_prewarm_done = None
+            if trace_cold:
+                print(f"[cold] prewarm wait {_t.perf_counter()-_t0:.2f}s",
+                      flush=True)
+        engine = self._resolve_engine(searcher)
         kw = dict(bits=head) if bits else dict(iq=head)
 
         def run(n_nc, searcher):
@@ -592,8 +650,11 @@ class Receiver:
                     bits = _ld.unpack_1bit(blk.tobytes())[: n_ep * p]
                     seg = self._transfer(bits, True, s0)
                 elif use_rawiq:
-                    from .utils.xfer import to_device_iq4, to_device_iq8
-                    fn = (to_device_iq4 if self.transfer_dtype == "int4"
+                    from .utils.xfer import (to_device_iq2, to_device_iq4,
+                                             to_device_iq8)
+                    fn = (to_device_iq2 if self.transfer_dtype == "int2"
+                          else to_device_iq4
+                          if self.transfer_dtype == "int4"
                           else to_device_iq8)
                     seg = fn(blk[: 2 * n_ep * p],
                              signed=source.dtype == "int8",
@@ -602,34 +663,83 @@ class Receiver:
                     seg = self._transfer(blk[: n_ep * p], use_bits, s0)
             return (blk, seg, n_ep, n_samp)
 
-        # Pre-build the tracking program while the first chunk is read/
-        # uploaded and cold acquisition compiles+runs: AOT lower+compile
-        # with the known chunk shape seeds the persistent compile cache
-        # (and XLA's in-process cache) so the first real track_epochs
-        # call doesn't serialize a multi-second compile behind
-        # acquisition — a large slice of cold time-to-first-fix.
-        if self.mesh is None:
-            import threading as _th
+        # Pre-build the COLD-SEARCH program while the first chunk is
+        # read/uploaded: the k=1 refined-acquisition compile was 5.7 s
+        # of the 9 s cold TTFF, fully serialized behind the first read.
+        # The prewarm thread compiles it on dummy input (populating the
+        # in-process jit cache); _cold_detections waits on the event
+        # instead of racing a duplicate compile.
+        import threading as _thr
+        acq_head = min(self.weak_noncoherent * self.searcher.block_len,
+                       chunk_len)
+        acq_bits = use_packed or use_bits
+        self._acq_prewarm_done = _ev = _thr.Event()
 
-            def _prewarm(chunk_len=chunk_len, n=(max_channels
-                                                 or cfg.num_chans)):
-                try:
-                    import jax
-                    import jax.numpy as _jnp
-                    tables, code_ffts = self._tables_for((None,) * n, n)
-                    seg_spec = jax.ShapeDtypeStruct((chunk_len,),
-                                                    _jnp.complex64)
-                    tc.track_epochs.lower(
-                        seg_spec, tc.init_state(n), tables, fs=cfg.fs,
-                        pll_gains=self.pll_gains,
+        # Two prewarm threads: the search-side chain (acquisition
+        # program, then the channel-seeding program that follows it on
+        # the cold path) and the tracker bring-up.  With the
+        # exported-program cache hot these are tunnel-I/O-bound
+        # (executable upload), so they overlap each other and the
+        # first-chunk read — the tracker load (~1.6 s, the longest
+        # pole) must start at t=0, not after the search chain.
+        def _warm_chain():
+            try:
+                self._prewarm_acq(acq_head, acq_bits)
+            finally:
+                _ev.set()
+
+        def _warm_seeder():
+            try:
+                # the batched channel-seeding program sits between the
+                # cold search and the first tracking chunk (~0.5 s
+                # trace+compile) — warm it from t=0 so it is ready
+                # before the real seeding at ~1.2 s
+                n = max_channels or cfg.num_chans
+                tc.start_channels(tc.init_state(n), [0], [0.0], [0.0],
+                                  [0.0])
+            except Exception:
+                pass
+
+        # The tracking prewarm (second link of the chain above): a dummy
+        # CALL through the same wrapper as the real loop populates the
+        # in-process jit cache AND the exported-program path (an AOT
+        # lower+compile seeds only the disk compile cache — the real
+        # call would still pay a full re-trace).
+        def _track_prewarm(chunk_len=chunk_len, n=(max_channels
+                                                   or cfg.num_chans)):
+            try:
+                import jax
+                import jax.numpy as _jnp
+
+                from .utils import progcache
+                tables, code_ffts = self._tables_for((None,) * n, n)
+                # the zero segment is BUILT on device inside jit: an
+                # eager complex64 constant would cross the host->device
+                # boundary, which this backend cannot transfer
+                # (utils.xfer planes rule) — and a failed dispatch in
+                # this thread wedges the whole client
+                seg0 = jax.jit(
+                    lambda n=chunk_len: jax.lax.complex(
+                        _jnp.zeros(n, _jnp.float32),
+                        _jnp.zeros(n, _jnp.float32)))()
+                out = progcache.call(
+                    "track_epochs", tc.track_epochs,
+                    args=(seg0, tc.init_state(n), tables),
+                    dyn_kwargs=dict(code_ffts=code_ffts,
+                                    aid_offset_hz=0.0),
+                    static_kwargs=dict(
+                        fs=cfg.fs, pll_gains=self.pll_gains,
                         dll_gains=self.dll_gains,
-                        epochs_per_step=eps, code_ffts=code_ffts,
-                        agc_thresholds=self.agc_thresholds,
-                        aid_offset_hz=0.0).compile()
-                except Exception:
-                    pass   # prewarm is best-effort; the real call compiles
+                        epochs_per_step=eps,
+                        agc_thresholds=self.agc_thresholds))
+                jax.block_until_ready(out[0])
+            except Exception:
+                pass   # prewarm is best-effort; the real call compiles
 
-            _th.Thread(target=_prewarm, daemon=True).start()
+        _thr.Thread(target=_warm_chain, daemon=True).start()
+        _thr.Thread(target=_warm_seeder, daemon=True).start()
+        if self.mesh is None:
+            _thr.Thread(target=_track_prewarm, daemon=True).start()
 
         prefetcher = Prefetcher(source, chunk_len, mode=mode,
                                 transform=upload)
@@ -652,6 +762,9 @@ class Receiver:
                      max_channels, warm_ephemerides, on_solution):
         """Streaming body of :meth:`process_source`, split out so the
         caller's try/finally can stop the prefetcher on every exit."""
+        import os as _os
+        import time as _time
+
         from .utils.metrics import METRICS
         cfg = self.cfg
 
@@ -712,7 +825,7 @@ class Receiver:
             dt = (epoch_now - epoch_searched) * 1e-3
             free = [ch for ch in range(n_chan) if ch not in live]
             tracked = {r.prn for r in live.values()}
-            started = []
+            started, seeds = [], []
             for d in sorted(dets, key=lambda x: -x["snr"]):
                 if d["prn"] in tracked or not free:
                     continue
@@ -721,9 +834,8 @@ class Receiver:
                 rate = CHIP_RATE_HZ * (1.0 + motion_dop / L1_HZ)
                 code_phase = (d["ca_shift"] * CHIP_RATE_HZ / cfg.fs
                               + rate * dt) % CODE_LEN_CHIPS
-                state = tc.start_channel(state, ch, d["doppler_hz"],
-                                         code_phase,
-                                         code_doppler_hz=motion_dop)
+                seeds.append((ch, d["doppler_hz"], code_phase,
+                              motion_dop))
                 slot_prns[ch] = d["prn"]
                 rec = ChannelRecord(ch=ch, prn=d["prn"],
                                     start_epoch=epoch_now,
@@ -739,6 +851,12 @@ class Receiver:
                 recs.append(rec)
                 tracked.add(d["prn"])
                 started.append(d)
+            if seeds:
+                # ONE batched jitted seeding dispatch (the per-channel
+                # eager .at[] version was 2.3 s of cold TTFF over a
+                # tunneled link: ~13 round-trips per channel)
+                chs, dops_s, cps, mds = zip(*seeds)
+                state = tc.start_channels(state, chs, dops_s, cps, mds)
             return started
 
         def try_acquire(blk, epoch_now):
@@ -746,10 +864,16 @@ class Receiver:
             if all(ch in live for ch in range(n_chan)):
                 return []
             tracked = frozenset(r.prn for r in live.values())
+            _tc0 = _time.perf_counter()
             dets = self._cold_detections(head_of(blk),
                                          bits=use_bits or use_packed,
                                          skip_prns=tracked)
-            return start_detections(dets, epoch_now, epoch_now)
+            _tc1 = _time.perf_counter()
+            started = start_detections(dets, epoch_now, epoch_now)
+            if _os.environ.get("TPU_GNSS_TRACE_COLD"):
+                print(f"[cold] search {_tc1-_tc0:.2f}s  start_channels "
+                      f"{_time.perf_counter()-_tc1:.2f}s", flush=True)
+            return started
 
         with METRICS.stage("receiver.acquire"):
             first_dets = try_acquire(first, 0)
@@ -833,8 +957,6 @@ class Receiver:
                             r.trim_to(keep)
                 n_drained += chunk_ep
 
-        import os as _os
-        import time as _time
         trace = bool(_os.environ.get("TPU_GNSS_TRACE_CHUNKS"))
         n_dispatched = 0     # epochs sent to the tracker
         n_drained = 0        # epochs whose outputs reached the records
@@ -928,13 +1050,20 @@ class Receiver:
                     state, out = self._tracker_sharded(
                         seg, state, tables, code_ffts, self._if_offset)
                 else:
-                    state, out = tc.track_epochs(
-                        seg, state, tables, fs=cfg.fs,
-                        pll_gains=self.pll_gains, dll_gains=self.dll_gains,
-                        epochs_per_step=eps,
-                        code_ffts=code_ffts,
-                        agc_thresholds=self.agc_thresholds,
-                        aid_offset_hz=self._if_offset)
+                    # exported-program cache: fresh processes skip the
+                    # tracker's per-process trace+load (utils.progcache)
+                    from .utils import progcache
+                    state, out = progcache.call(
+                        "track_epochs", tc.track_epochs,
+                        args=(seg, state, tables),
+                        dyn_kwargs=dict(
+                            code_ffts=code_ffts,
+                            aid_offset_hz=float(self._if_offset)),
+                        static_kwargs=dict(
+                            fs=cfg.fs, pll_gains=self.pll_gains,
+                            dll_gains=self.dll_gains,
+                            epochs_per_step=eps,
+                            agc_thresholds=self.agc_thresholds))
                 out_dev, elp_dev = _pack_out(out)
                 try:
                     # start the device->host copy immediately; the
@@ -1000,6 +1129,9 @@ class Receiver:
             return self._mix_chunk(
                 jnp.asarray(np.ascontiguousarray(blk)), sample0)
         blk = np.ascontiguousarray(blk)
+        if self.transfer_dtype == "int2":
+            from .utils.xfer import to_device_complex_i2
+            return to_device_complex_i2(blk)
         if self.transfer_dtype == "int4":
             from .utils.xfer import to_device_complex_i4
             rms = float(np.sqrt(np.mean(np.abs(blk[:65536]) ** 2)))
@@ -1048,10 +1180,13 @@ class Receiver:
         """
         import jax.numpy as jnp
         from .ops.onebit import mix_packed
+        from .utils import progcache
         p0 = float((sample0 * float(self.cfg.lo_rate)) % 4.0)
-        return mix_packed(jnp.asarray(words), n_bits=32 * len(words),
-                          lo_rate=self.cfg.lo_rate,
-                          phase0_quarters=jnp.float32(p0))
+        return progcache.call(
+            "mix_packed", mix_packed, args=(jnp.asarray(words),),
+            dyn_kwargs=dict(phase0_quarters=jnp.float32(p0)),
+            static_kwargs=dict(n_bits=32 * len(words),
+                               lo_rate=self.cfg.lo_rate))
 
     # ------------------------------------------------------------------
     def _tables_for(self, slot_key: tuple, n_chan: int):

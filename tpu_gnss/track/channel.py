@@ -74,6 +74,18 @@ class EpochOut(NamedTuple):
     code_phase: jnp.ndarray     # chips at epoch START
 
 
+# jax.export needs named (de)serialization for custom pytree nodes so
+# the tracker program can ride the exported-program cache
+# (utils.progcache); no-op on jax versions without the registry.
+try:
+    jax.export.register_namedtuple_serialization(
+        ChannelState, serialized_name="tpu_gnss.track.ChannelState")
+    jax.export.register_namedtuple_serialization(
+        EpochOut, serialized_name="tpu_gnss.track.EpochOut")
+except Exception:
+    pass
+
+
 def init_state(n_chan: int) -> ChannelState:
     z = jnp.zeros(n_chan, jnp.float32)
     return ChannelState(
@@ -122,6 +134,55 @@ def start_channel(state: ChannelState, ch: int, doppler_hz: float,
         ip_prev=upd(state.ip_prev, 0.0),
         qp_prev=upd(state.qp_prev, 0.0),
         agc_on=state.agc_on.at[ch].set(False))
+
+
+@jax.jit
+def _start_channels_jit(state: ChannelState, seeds: jnp.ndarray
+                        ) -> ChannelState:
+    chs = seeds[0].astype(jnp.int32)    # exact for any realistic bank
+    dop, cp, cdev = seeds[1], seeds[2], seeds[3]
+    upd = lambda a, v: a.at[chs].set(v)
+    z = jnp.zeros_like(dop)
+    return state._replace(
+        active=state.active.at[chs].set(True),
+        carrier_phase=upd(state.carrier_phase, z),
+        carrier_seed=upd(state.carrier_seed, dop),
+        code_phase=upd(state.code_phase, cp),
+        pll_acc=upd(state.pll_acc, z),
+        dll_acc=upd(state.dll_acc, z),
+        carrier_freq=upd(state.carrier_freq, dop),
+        code_dev=upd(state.code_dev, cdev),
+        pwr_avg=upd(state.pwr_avg, z),
+        ip_prev=upd(state.ip_prev, z),
+        qp_prev=upd(state.qp_prev, z),
+        agc_on=state.agc_on.at[chs].set(False))
+
+
+def start_channels(state: ChannelState, chs, doppler_hz,
+                   code_phase_chips, code_doppler_hz) -> ChannelState:
+    """Batched :func:`start_channel`: ONE jitted dispatch for any number
+    of seeds.  The per-channel eager version is ~13 device round-trips
+    per channel — 2.3 s of a 6 s cold time-to-first-fix when each
+    dispatch crosses a tunneled link.  Host inputs are padded to the
+    bank width so a single compiled program serves every start count
+    (padded entries repeat row 0 with identical values, so the
+    duplicate scatter is deterministic), and packed into ONE ``[4, n]``
+    float32 upload so the seeding costs a single link transfer.
+    """
+    n = int(state.active.shape[0])
+    k = len(chs)
+    assert 1 <= k <= n
+    seeds = np.empty((4, k), np.float32)
+    seeds[0] = np.asarray(chs, np.float32)
+    seeds[1] = np.asarray(doppler_hz, np.float32)
+    seeds[2] = (np.asarray(code_phase_chips, np.float64)
+                % CODE_LEN_CHIPS).astype(np.float32)
+    seeds[3] = (CHIP_RATE_HZ * np.asarray(code_doppler_hz, np.float64)
+                / L1_HZ).astype(np.float32)
+    if k < n:
+        seeds = np.concatenate(
+            [seeds, np.repeat(seeds[:, :1], n - k, axis=1)], axis=1)
+    return _start_channels_jit(state, seeds)
 
 
 @functools.partial(

@@ -91,8 +91,11 @@ def load_state(path: str) -> dict:
         for i, prn in enumerate(prns):
             e = Ephemeris()
             for name in _EPH_FIELDS:
+                if f"eph_{name}" not in z:
+                    continue   # field added after this checkpoint: default
                 v = float(z[f"eph_{name}"][i])
-                setattr(e, name, int(v) if name == "tow" else v)
+                setattr(e, name, bool(v) if name == "has_utc"
+                        else int(v) if name == "tow" else v)
             e.alpha = tuple(z["eph_alpha"][i])
             e.beta = tuple(z["eph_beta"][i])
             ephs[int(prn)] = e

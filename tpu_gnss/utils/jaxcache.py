@@ -12,10 +12,14 @@ import os
 
 
 def enable_persistent_cache(path: str | None = None) -> None:
-    """Enable jax's on-disk compilation cache (idempotent)."""
+    """Enable jax's on-disk compilation cache (idempotent), plus the
+    exported-program cache (utils.progcache) that removes the remaining
+    per-process trace+load cost from the hot-path programs."""
     import jax
     cache_dir = (path or os.environ.get("JAX_COMPILATION_CACHE_DIR")
                  or os.path.expanduser("~/.jax_cache"))
     os.makedirs(cache_dir, exist_ok=True)
     jax.config.update("jax_compilation_cache_dir", cache_dir)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    from . import progcache
+    progcache.enable(os.path.join(cache_dir, "exported"))

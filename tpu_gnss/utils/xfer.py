@@ -126,6 +126,88 @@ def to_device_iq4(raw: np.ndarray, signed: bool,
                        jnp.float32(1.0 / scale), remove_dc)
 
 
+@functools.partial(jax.jit, static_argnames=("remove_dc",))
+def _unpack_iq2(packed: jnp.ndarray, step: jnp.ndarray,
+                remove_dc: bool) -> jnp.ndarray:
+    """Packed 2-bit sign/magnitude I/Q -> complex64, on device.
+
+    Each byte holds FOUR components (I0,Q0,I1,Q1), two bits each:
+    code = 2*negative + strong, i.e. levels [+1, +3, -1, -3] * step.
+    """
+    b = packed.astype(jnp.int32)
+    levels = jnp.array([1.0, 3.0, -1.0, -3.0], jnp.float32) * step
+    c = jnp.stack([b & 3, (b >> 2) & 3, (b >> 4) & 3, (b >> 6) & 3],
+                  axis=-1).reshape(-1)      # component stream
+    v = levels[c].reshape(-1, 2)
+    re, im = v[:, 0], v[:, 1]
+    if remove_dc:
+        re = re - jnp.mean(re)
+        im = im - jnp.mean(im)
+    return (re + 1j * im).astype(jnp.complex64)
+
+
+def to_device_iq2(raw: np.ndarray, signed: bool,
+                  remove_dc: bool = True) -> jax.Array:
+    """8-bit capture bytes requantized to 2-bit sign/magnitude for the
+    link: 4 components/byte = half a byte per complex sample — half of
+    :func:`to_device_iq4`'s traffic, a quarter of the native int8 path.
+
+    Standard GNSS front-end quantization (the classic 2-bit ADC most
+    commercial L1 receivers run): sign + one magnitude bit with the
+    threshold at the input RMS costs ~0.55 dB of post-correlation SNR
+    (vs ~2 dB for the 1-bit capture format the reference itself uses
+    everywhere, c/conv_1bit_bin_to_hackrf_bin.cpp:18-20), so fidelity
+    is proven by the reference's own operating point.  Dequantization
+    maps codes to levels {±1, ±3}·step with step = rms/1.887 so the
+    output RMS matches the input (E[lvl²] = 0.68·1 + 0.32·9 = 3.56 at
+    a ±1σ threshold) — AGC/watchdog power ratios downstream are
+    preserved.
+
+    Host cost: one 256-entry LUT pass per component plus three ORs —
+    the same cheap byte-wise repacking recipe as the int4 path.
+    """
+    raw = np.asarray(raw)
+    assert raw.dtype.itemsize == 1, (
+        f"to_device_iq2 takes 8-bit capture bytes, got {raw.dtype}")
+    assert len(raw) % 8 == 0, (
+        "2-bit packing needs whole bytes of FOUR components: sample "
+        "count must be a multiple of 4")
+    head = raw[:65536].astype(np.float32)
+    if not signed:
+        head = head - 128.0
+    rms = float(np.sqrt(np.mean(np.square(head))))
+    if rms <= 1e-12:
+        rms = 1.0
+    v = np.arange(256, dtype=np.uint8)
+    v = (v.view(np.int8).astype(np.float32) if signed
+         else v.astype(np.float32) - 128.0)
+    code = (2 * (v < 0) + (np.abs(v) >= rms)).astype(np.uint8)
+    u = raw.view(np.uint8) if raw.dtype != np.uint8 else raw
+    packed = (code[u[0::4]] | (code << 2)[u[1::4]]
+              | (code << 4)[u[2::4]] | (code << 6)[u[3::4]])
+    return _unpack_iq2(jnp.asarray(packed),
+                       jnp.float32(rms / 1.887), remove_dc)
+
+
+def to_device_complex_i2(x: np.ndarray) -> jax.Array:
+    """2-bit sign/magnitude transfer of a host COMPLEX array: half a
+    byte per sample (see :func:`to_device_iq2` for the quantizer)."""
+    x = np.asarray(x)
+    assert len(x) % 2 == 0, "2-bit packing needs an even sample count"
+    comps = np.empty((len(x), 2), np.float32)
+    comps[:, 0] = x.real
+    comps[:, 1] = x.imag
+    comps = comps.reshape(-1)
+    rms = float(np.sqrt(np.mean(np.square(comps[:131072]))))
+    if rms <= 1e-12:
+        rms = 1.0
+    code = (2 * (comps < 0) + (np.abs(comps) >= rms)).astype(np.uint8)
+    c = code.reshape(-1, 4)
+    packed = c[:, 0] | (c[:, 1] << 2) | (c[:, 2] << 4) | (c[:, 3] << 6)
+    return _unpack_iq2(jnp.asarray(packed), jnp.float32(rms / 1.887),
+                       False)
+
+
 @functools.partial(jax.jit, static_argnames=("signed", "remove_dc"))
 def _deinterleave_iq8(raw: jnp.ndarray, signed: bool,
                       remove_dc: bool) -> jnp.ndarray:
