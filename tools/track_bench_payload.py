@@ -53,23 +53,38 @@ def bench_bank(n_chan: int, use_pallas) -> dict:
 
     st, out = run(state0)
     _ = np.asarray(out.ip[-1])   # compile + settle
-    # NOTE: fetch only small slices before/around timing; pulling full
+    # Timing methodology (r5): the tunneled backend's block_until_ready
+    # costs a FLAT ~23 ms regardless of preceding work, which inflated
+    # the old 5-iteration averages by ~4.6 ms/s (the published 12-ch
+    # 60.6x was really ~100x).  Difference two run lengths so the sync
+    # cost cancels exactly: per-second cost = (T(25) - T(5)) / 20.
+    # NOTE: fetch only small slices around timing; pulling full
     # histories across the tunnel slows subsequent runs ~10x.
-    dt = float("inf")
-    for _ in range(3):           # best of 3: amortize tunnel RTT jitter
-        iters = 5
-        t0 = time.perf_counter()
-        for _ in range(iters):
-            st, out = run(st)
-        _ = np.asarray(out.ip[-1])
-        dt = min(dt, (time.perf_counter() - t0) / iters)
+    def timed(iters):
+        nonlocal st
+        best = float("inf")
+        for _ in range(3):       # best of 3: amortize tunnel RTT jitter
+            t0 = time.perf_counter()
+            ss = st
+            for _ in range(iters):
+                ss, out2 = run(ss)
+            jax.block_until_ready(out2.ip)
+            best = min(best, time.perf_counter() - t0)
+        st = ss
+        return best, out2
+
+    t5, _ = timed(5)
+    t25, out = timed(25)
+    dt = (t25 - t5) / 20.0
     lock = float(np.abs(np.asarray(out.ip[-50:, 0])).mean())
     rt = 1.0 / dt                # each run tracks 1 s of samples
     print(f"n_chan={n_chan:3d} pallas={use_pallas}: {dt*1e3:6.1f} ms/s "
-          f"-> {rt:6.1f}x realtime  lock|ip|~{lock:.0f}", flush=True)
+          f"-> {rt:6.1f}x realtime  lock|ip|~{lock:.0f} "
+          f"(T5={t5*1e3:.0f}ms T25={t25*1e3:.0f}ms)", flush=True)
     return dict(n_chan=n_chan, pallas=bool(use_pallas),
                 realtime_factor=round(rt, 1), ms_per_s=round(dt * 1e3, 1),
-                lock_ip=round(lock))
+                lock_ip=round(lock), t5_ms=round(t5 * 1e3),
+                t25_ms=round(t25 * 1e3))
 
 
 sweep = [bench_bank(n, True) for n in (12, 32, 64)]
@@ -78,7 +93,18 @@ main = sweep[0]
 artifact = dict(metric="tracking_realtime_factor",
                 value=main["realtime_factor"], unit="x_realtime",
                 vs_baseline=main["realtime_factor"],   # reference FPGA = 1x
-                n_chan=12, fs_hz=FS, epochs_per_step=E, sweep=sweep)
+                n_chan=12, fs_hz=FS, epochs_per_step=E, sweep=sweep,
+                methodology="per-second cost = (T(25 runs) - T(5 runs))"
+                            " / 20: cancels the backend's flat ~23 ms"
+                            " block_until_ready sync cost that inflated"
+                            " earlier 5-run averages by ~4.6 ms/s",
+                binding_stage="in-kernel VPU elementwise op count"
+                              " (NOT HBM/VMEM bandwidth: bf16 halving"
+                              " measured ~5% slower; NOT scan overhead:"
+                              " epochs_per_step sweep flat).  Scaling"
+                              " is affine: ~4 ms/s fixed + ~0.35 ms/s"
+                              " per channel after the rank-1 tap-basis"
+                              " restructure (ops/mxu_track.tap_basis)")
 out_path = os.path.join(os.path.dirname(os.path.dirname(
     os.path.abspath(__file__))), "BENCH_track.json")
 with open(out_path, "w") as f:

@@ -15,10 +15,18 @@ batching that makes tpu_gnss.ops.mxu_corr.fold_corr_reduce fast):
    block transpose between them), output ``G^T[c*k2, k1]``;
 3. product with the channels' conjugated, wrap-folded code spectra
    (tpu_gnss.track.channel.code_spectra semantics);
-4. prompt fractional-lag ramps from per-channel factored trig;
-   early/late taps are fixed ``t(±δ)`` tables with per-channel
-   wrap-selects (exact: ramp(τ+δ) = ramp(τ)·t(δ), signed-frequency
-   convention);
+4. prompt ramp + early/late taps.  For even ``n1`` (every standard
+   sample rate) the ramp and all four tap grids are RANK-1 separable
+   (:func:`tap_basis`), so this whole stage is one broadcast complex
+   mult, ONE MXU matmul against the static 5-column tap basis, and
+   tiny per-lane k2 reductions — profiling showed the kernel is
+   VPU-op-count-bound (bf16'ing the elementwise passes changed
+   nothing), and this removes the 4 full-grid tap selects + 6
+   product/reduce passes that dominated that count: measured 12-ch
+   7.1 ms/s vs 10.0 before (sync-overhead-cancelled timing), 64-ch
+   35.7 -> 25.3 ms/s.  Odd ``n1`` keeps the dense tap-table path
+   (the signed-frequency boundary cuts a column mid-way, breaking
+   separability);
 5. the three complex correlator sums per channel, written as six lanes.
 
 Channels are processed in groups of <=16 inside the kernel to bound
@@ -73,6 +81,45 @@ def track_tables(nf: int, period: int, dsamp: float) -> tuple:
             tuple(f32(x) for x in taps))
 
 
+@functools.lru_cache(maxsize=8)
+def tap_basis(nf: int, period: int, dsamp: float) -> tuple:
+    """Rank-1 factors of the ramp/tap grids (EVEN ``n1`` only).
+
+    Every tap grid is separable: ``t(d)[k2, k1] = u_d[k2] · v_d[k1]``
+    with ``u_d[k2] = e^{-j2πk2 d/NF}`` and ``v_d[k1] = e^{-j2πk1 d/n1}
+    · e^{+j2πd}[k1 >= n1/2]`` (the signed-frequency upper half is
+    exactly the high k1 columns when n1 is even).  That collapses the
+    kernel's per-tap elementwise passes into ONE MXU matmul with the
+    basis ``B = [1, v_E, v_Ew, v_L, v_Lw]`` followed by tiny per-lane
+    k2 reductions — the tap stage was the largest VPU op-count block.
+
+    Returns ``(br, bi)`` bf16 ``[n1, 128]`` (columns 0-4 = B) and
+    ``(udr, udi)`` f32 ``[n2, 128]`` (lanes 0-4 = ``[1, u_E, u_Ew,
+    u_L, u_Lw]``).
+    """
+    n1, n2 = split_nf(nf)
+    assert n1 % 2 == 0, "tap_basis is the even-n1 fast path"
+
+    def vd(d):
+        v = np.exp(-2j * np.pi * np.arange(n1) * (d / n1))
+        v[n1 // 2:] *= np.exp(2j * np.pi * d)
+        return v
+
+    def ud(d):
+        return np.exp(-2j * np.pi * np.arange(n2) * (d / nf))
+
+    B = np.zeros((n1, 128), np.complex128)
+    U = np.zeros((n2, 128), np.complex128)
+    B[:, 0] = 1.0
+    U[:, 0] = 1.0
+    for j, d in enumerate((dsamp, dsamp - period, -dsamp,
+                           -dsamp + period), start=1):
+        B[:, j] = vd(d)
+        U[:, j] = ud(d)
+    return ((B.real.astype(jnp.bfloat16), B.imag.astype(jnp.bfloat16)),
+            (U.real.astype(np.float32), U.imag.astype(np.float32)))
+
+
 def spec_planes(code_ffts: jnp.ndarray, nf: int, n_pad: int) -> tuple:
     """Per-channel spectra -> ``[n_pad*n2, n1]`` bf16 planes (G^T layout,
     row ``c*n2 + k2`` column ``k1`` = bin ``k1*n2 + k2`` of channel c);
@@ -86,7 +133,8 @@ def spec_planes(code_ffts: jnp.ndarray, nf: int, n_pad: int) -> tuple:
             jnp.imag(st).astype(jnp.bfloat16))
 
 
-def _kernel_factory(n_pad: int, n1: int, n2: int, u_rows: int, nf: int):
+def _kernel_factory(n_pad: int, n1: int, n2: int, u_rows: int, nf: int,
+                    even: bool):
     from jax.experimental import pallas as pl  # noqa: F401
     g_sz = min(_GROUP, n_pad)
     assert n_pad % g_sz == 0, (
@@ -96,9 +144,14 @@ def _kernel_factory(n_pad: int, n1: int, n2: int, u_rows: int, nf: int):
 
     def kernel(blk_r_ref, blk_i_ref, par_ref, cw_r_ref, cw_i_ref,
                f2r_ref, f2i_ref, wtr_ref, wti_ref, f1r_ref, f1i_ref,
-               ter_ref, tei_ref, tewr_ref, tewi_ref,
-               tlr_ref, tli_ref, tlwr_ref, tlwi_ref,
-               out_ref):
+               *tail_refs):
+        out_ref = tail_refs[-1]
+        if even:
+            # rank-1 fast path: ramp/tap basis + static u-lane table
+            br_ref, bi_ref, udr_ref, udi_ref = tail_refs[:4]
+        else:
+            (ter_ref, tei_ref, tewr_ref, tewi_ref,
+             tlr_ref, tli_ref, tlwr_ref, tlwi_ref) = tail_refs[:8]
         f32, bf16 = jnp.float32, jnp.bfloat16
         two_pi = jnp.float32(2.0 * np.pi)
 
@@ -178,6 +231,49 @@ def _kernel_factory(n_pad: int, n1: int, n2: int, u_rows: int, nf: int):
             a2 = -two_pi * ((k2i * (tau / nf)) % 1.0)  # [g_sz, n2]
             c1, s1 = jnp.cos(a1), jnp.sin(a1)
             c2, s2 = jnp.cos(a2), jnp.sin(a2)
+
+            if even:
+                # --- rank-1 tap stage: the ramp and every E/L tap grid
+                # factor as u[k2]·v[k1] (tap_basis), so the whole
+                # per-tap elementwise+reduce pipeline collapses into
+                # (a) one broadcast complex mult by v_tau, (b) ONE MXU
+                # matmul with the static basis B = [1, v_E, v_Ew, v_L,
+                # v_Lw], and (c) small k2 reductions — removing the
+                # 4 tap-table selects and 6 full-grid product passes
+                # that dominated the kernel's VPU op count.
+                inv_nf = jnp.float32(1.0 / nf)
+                p3r = pr.reshape(g_sz, n2, n1)
+                p3i = pi_.reshape(g_sz, n2, n1)
+                vr_, vi_ = c1[:, None, :], s1[:, None, :]
+                qar = (p3r * vr_ - p3i * vi_).reshape(
+                    g_sz * n2, n1).astype(bf16)
+                qai = (p3r * vi_ + p3i * vr_).reshape(
+                    g_sz * n2, n1).astype(bf16)
+                qr, qi = mm(qar, qai, br_ref[:], bi_ref[:])  # [g*n2,128]
+                q3r = qr.reshape(g_sz, n2, 128)
+                q3i = qi.reshape(g_sz, n2, 128)
+                ur2, ui2 = c2[:, :, None], s2[:, :, None]    # u_tau
+                zr_ = q3r * ur2 - q3i * ui2
+                zi_ = q3r * ui2 + q3i * ur2
+                udr, udi = udr_ref[:][None], udi_ref[:][None]
+                hr = zr_ * udr - zi_ * udi
+                hi = zr_ * udi + zi_ * udr
+                red = hr.sum(axis=1) * inv_nf                # [g_sz, 128]
+                imd = hi.sum(axis=1) * inv_nf
+                we = par[:, 3:4]
+                wl = par[:, 4:5]
+                pick = lambda m, j, w_: ((1.0 - w_) * m[:, j:j + 1]
+                                         + w_ * m[:, j + 1:j + 2])
+                vals = (red[:, 0:1], imd[:, 0:1],
+                        pick(red, 1, we), pick(imd, 1, we),
+                        pick(red, 3, wl), pick(imd, 3, wl))
+                lane = jax.lax.broadcasted_iota(jnp.int32, (g_sz, 128), 1)
+                out = jnp.zeros((g_sz, 128), f32)
+                for j, vv in enumerate(vals):
+                    out = jnp.where(lane == j, vv, out)
+                out_ref[0, pl.ds(g * g_sz, g_sz), :] = out
+                continue
+
             rmr, rmi = outer_c(c2, s2, c1, s1)         # [g_sz*n2, n1]
             if n1 % 2:
                 # odd n1: apply the upper-half phasor to the cells of
@@ -249,14 +345,21 @@ def track_corr(blk_tr: jnp.ndarray, blk_ti: jnp.ndarray,
     n1, n2 = split_nf(nf)
     (u_rows, (f2r, f2i), (wtr, wti), (f1r, f1i),
      taps) = track_tables(nf, period, dsamp)
-    (ter, tei), (tewr, tewi), (tlr, tli), (tlwr, tlwi) = taps
     e_sub, n_pad = params.shape[0], params.shape[1]
-    kernel = _kernel_factory(n_pad, n1, n2, u_rows, nf)
+    even = n1 % 2 == 0
+    kernel = _kernel_factory(n_pad, n1, n2, u_rows, nf, even)
 
     full = lambda a: pl.BlockSpec(a.shape, lambda i: (0,) * a.ndim)
+    if even:
+        # rank-1 fast path (tap_basis): basis matmul + u-lane table
+        # replace the four full tap grids
+        (br, bi), (udr, udi) = tap_basis(nf, period, dsamp)
+        tap_consts = (br, bi, udr, udi)
+    else:
+        (ter, tei), (tewr, tewi), (tlr, tli), (tlwr, tlwi) = taps
+        tap_consts = (ter, tei, tewr, tewi, tlr, tli, tlwr, tlwi)
     consts = [jnp.asarray(a) for a in
-              (f2r, f2i, wtr, wti, f1r, f1i,
-               ter, tei, tewr, tewi, tlr, tli, tlwr, tlwi)]
+              (f2r, f2i, wtr, wti, f1r, f1i) + tap_consts]
     out = pl.pallas_call(
         kernel,
         grid=(e_sub,),

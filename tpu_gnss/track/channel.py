@@ -243,10 +243,16 @@ def track_epochs(samples: jnp.ndarray, state: ChannelState,
         — changing the value does not retrace.
       use_pallas: route the FFT-dot correlator through the fused MXU
         kernel (tpu_gnss.ops.mxu_track) — wipe, forward DFT, spectrum
-        product and E/P/L taps per (channel, epoch) row in VMEM, which
-        keeps channel scaling linear (the XLA path's [n_chan, e_sub, NF]
-        intermediates become HBM-bound beyond ~12 channels).  Default:
-        on for TPU backends, off elsewhere; only used with ``code_ffts``.
+        product and E/P/L taps per (channel, epoch) row in VMEM.
+        Measured cost is AFFINE in channels, not flat: ~4 ms/s fixed +
+        ~0.35 ms/s per channel at fs=5.456 MHz (sync-overhead-cancelled
+        v5e timing: 12ch 141x / 32ch 79x / 64ch 40x realtime,
+        BENCH_track.json sweep; the XLA einsum path is ~2x the
+        per-channel cost and its [n_chan, e_sub, NF] HBM intermediates
+        fall off far faster beyond ~12 channels).  The binding stage is
+        in-kernel VPU op count, attacked by the rank-1 tap basis
+        (tpu_gnss.ops.mxu_track.tap_basis).  Default: on for TPU
+        backends, off elsewhere; only used with ``code_ffts``.
 
     Returns (final state, per-epoch outputs).
     """
