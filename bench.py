@@ -71,17 +71,26 @@ def main() -> int:
                       searcher.dops_hz)
     _ = np.asarray(out)  # force compile + first execution
 
-    reps = 10
-    # best of 3 trials: the tunnel's round-trip share varies run to run;
-    # the fastest trial is the cleanest view of device throughput
-    dt = float("inf")
-    for _ in range(3):
-        t0 = time.perf_counter()
-        for _ in range(reps):
-            carry, out = step(bits_blocks, carry, cw_r, cw_i,
-                              searcher.dops_hz)
-        _ = np.asarray(out)  # force the whole chain
-        dt = min(dt, (time.perf_counter() - t0) / (reps * n_blocks))
+    # Sync-cancelled timing (r5): the final fetch/sync costs a FLAT
+    # ~23 ms on this backend regardless of preceding work — ~11% of a
+    # 10-rep run at current speed.  Difference two run lengths so it
+    # cancels exactly; best of 3 trials each (the tunnel's round-trip
+    # share varies run to run; the fastest trial is the cleanest view
+    # of device throughput).
+    def timed(reps):
+        nonlocal carry
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            for _ in range(reps):
+                carry, out = step(bits_blocks, carry, cw_r, cw_i,
+                                  searcher.dops_hz)
+            _ = np.asarray(out)  # force the whole chain
+            best = min(best, time.perf_counter() - t0)
+        return best
+
+    t_lo, t_hi = timed(3), timed(13)
+    dt = (t_hi - t_lo) / (10 * n_blocks)
 
     grid = len(cfg.prns) * len(searcher.dops_hz) * searcher.block_len
     value = grid / dt

@@ -67,7 +67,8 @@ def scene():
 
 def build_scene(duration: float = 20.0, n_sv: int = 6, noise: float = 0.7,
                 seed: int = 42, dropout=None, degrade=None,
-                rx_vel_enu=None, doppler_ramp_hz_s: float = 0.0):
+                rx_vel_enu=None, doppler_ramp_hz_s: float = 0.0,
+                leap_s: float = 0.0):
     """Consistent multi-SV scene: (iq, ephs, rx_ecef).
 
     Shared by the e2e tests and tools/e2e_payload.py /
@@ -101,6 +102,15 @@ def build_scene(duration: float = 20.0, n_sv: int = 6, noise: float = 0.7,
     """
     rng = np.random.default_rng(seed)
     ephs = make_constellation(n_sv, t_oe=T_OE)
+    if leap_s:
+        # broadcast GPS-UTC leap seconds in the page-18 UTC half
+        # (nav/ephemeris.UTC_FIELDS); the event is placed in the past
+        # so leap_seconds() returns ``leap_s`` throughout the scene
+        for e in ephs:
+            e.delta_t_ls = float(leap_s)
+            e.delta_t_lsf = float(leap_s)
+            e.wn_lsf = 1.0
+            e.dn_utc = 1.0
     rx = ps.geodetic_to_ecef(*TRUTH_LLA)
     vel_ecef = None
     if rx_vel_enu is not None:

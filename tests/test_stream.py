@@ -899,11 +899,14 @@ def test_fifo_zero_byte_close_is_clean_eof(tmp_path):
 # ---------------------------------------------------------------------------
 
 def _rtltcp_server(payload: bytes, *, greeting: bytes = None,
-                   stall_after: int = None):
+                   stall_after: int = None, send_timeout_s: float = 10.0):
     """Minimal rtl_tcp mock: returns (port, thread, received_cmds list).
 
     Streams ``payload`` after the greeting; ``stall_after`` stops
     sending after that many bytes WITHOUT closing (hung dongle).
+    ``send_timeout_s``: patience while the client consumes — a receiver
+    slower than the socket (CPU tests chewing minutes of samples) needs
+    the server to wait on TCP backpressure, not hang up.
     """
     import socket
     import threading
@@ -941,6 +944,7 @@ def _rtltcp_server(payload: bytes, *, greeting: bytes = None,
             cmds.append((buf[i], int.from_bytes(buf[i+1:i+5], "big")))
         data = payload if stall_after is None else payload[:stall_after]
         if data:
+            conn.settimeout(send_timeout_s)
             conn.sendall(data)
         if stall_after is not None:
             time.sleep(3.0)     # hang without closing
@@ -1108,3 +1112,85 @@ def test_rtltcp_cli_url_validation(capsys):
     rc = run_receiver.main(["rtltcp://myhost:abc"])
     assert rc == 2
     assert "needs host:port" in capsys.readouterr().err
+
+
+@pytest.mark.slow
+def test_live_sky_rehearsal_combined():
+    """The full live-dongle configuration in ONE test (VERDICT r4 #8):
+    rtl_tcp socket ingest + ~50 kHz oscillator offset (dongle crystal
+    error) + almanac-directed warm start + if_offset auto + broadcast
+    leap seconds driving the emitted NMEA — exactly what a real sky
+    session through ``run_receiver rtltcp://host:port --warm-start``
+    executes, end to end.
+
+    The directed subset is what the CLI's visibility prediction yields
+    from a checkpoint's almanac + last fix (the synthetic constellation
+    is synthesized without an Earth-blockage model, so the true
+    ``visible_prns`` of its orbits is exercised in tests/test_almanac;
+    here the subset is a 5-PRN proper subset of the 32-PRN sweep, PRN 7
+    deliberately excluded).
+    """
+    from tests.test_e2e import FS, T_OE, TRUTH_LLA, build_scene
+    from tpu_gnss.cli import nmea, nmea_out
+    from tpu_gnss.config import ReceiverConfig
+    from tpu_gnss.receiver import Receiver
+    from tpu_gnss.signal import rfchannel
+
+    offset_hz = 50e3
+    iq, ephs, rx = build_scene(duration=26.0, noise=0.5, leap_s=18)
+    rxed = rfchannel.apply_channel(iq, FS, freq_offset_hz=offset_hz,
+                                   delay_samples=123.0, gain=1.2)
+    scale = 100.0 / max(np.abs(rxed.real).max(), np.abs(rxed.imag).max())
+    raw = np.empty(2 * len(rxed), np.uint8)
+    raw[0::2] = np.clip(np.rint(rxed.real * scale), -127, 127) + 128
+    raw[1::2] = np.clip(np.rint(rxed.imag * scale), -127, 127) + 128
+
+    pred = [2, 3, 4, 5, 6]                 # directed subset (see above)
+    warm = {k + 2: e for k, e in enumerate(ephs)}
+
+    port, t, _ = _rtltcp_server(raw.tobytes(), send_timeout_s=600.0)
+    src = stream.RtlTcpSource("127.0.0.1", port, FS,
+                              stall_timeout_s=30.0)
+    # dongle crystal error -> the replay-offset personality: wide
+    # max_fo grid + auto IF-offset estimation (the CLI's defaults for
+    # rtltcp:// sources)
+    cfg = ReceiverConfig(fs=FS, fc=FS / 4, max_fo=100000.0,
+                         fft_len=4096, snr_threshold=17.0)
+    recv = Receiver(cfg)                   # if_offset_hz="auto"
+    fixes = []
+    res = recv.process_source(src, warm_ephemerides=warm,
+                              search_prns=pred,
+                              on_solution=fixes.append)
+    t.join(timeout=10)
+
+    assert fixes, "no live fix from the rtl_tcp socket"
+    # the ~50 kHz oscillator offset was recovered by the auto estimator
+    assert abs(recv._if_offset - offset_hz) < 2000.0, recv._if_offset
+    # the cold sweep was DIRECTED: every initial detection within the
+    # predicted subset, none from outside it
+    assert res.detections and all(d["prn"] in pred
+                                  for d in res.detections)
+    sol = res.solutions[-1]
+    err = np.linalg.norm(np.array([sol.x, sol.y, sol.z]) - np.array(rx))
+    assert err < 100.0, f"rehearsal fix error {err:.1f} m"
+    # broadcast UTC decoded from the live stream and attached to fixes
+    assert sol.week == 900
+    assert sol.leap_s == 18, (
+        f"broadcast leap seconds not decoded (sol.leap_s={sol.leap_s})")
+
+    # NMEA out closes the loop: the emitted burst parses back to the
+    # truth position and the UTC clock carries the broadcast -18 s
+    burst = nmea_out.solution_burst(sol)
+    st = nmea.NmeaState()
+    for s_ in burst:
+        assert nmea.checksum_ok(s_), s_
+        st.feed(s_)
+    assert abs(st.lat - sol.lat_deg) < 1e-5
+    assert abs(st.lon - sol.lon_deg) < 1e-5
+    assert abs(st.lat - TRUTH_LLA[0]) < 0.01
+    t18 = nmea_out.gps_to_utc(900, sol.t_rx, leap_s=18)
+    gga = next(s_ for s_ in burst if s_.startswith("$GPGGA"))
+    assert gga.split(",")[1].startswith(
+        f"{t18.hour:02d}{t18.minute:02d}{t18.second:02d}")
+    t0 = nmea_out.gps_to_utc(900, sol.t_rx, leap_s=0)
+    assert (t0 - t18).total_seconds() == 18.0

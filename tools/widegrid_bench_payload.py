@@ -50,14 +50,23 @@ def step(blocks, carry, cw_r, cw_i, dops_hz):
 carry, out = step(bits_blocks, jnp.uint8(0), cw_r, cw_i, searcher.dops_hz)
 _ = np.asarray(out)   # compile + first execution
 
-reps = 4
-dt = float("inf")
-for _ in range(3):
-    t0 = time.perf_counter()
-    for _ in range(reps):
-        carry, out = step(bits_blocks, carry, cw_r, cw_i, searcher.dops_hz)
-    _ = np.asarray(out)
-    dt = min(dt, (time.perf_counter() - t0) / (reps * n_blocks))
+# sync-cancelled timing (r5, as bench.py): the final fetch costs a flat
+# ~23 ms on this backend — difference two run lengths so it cancels
+def timed(reps):
+    global carry
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        for _ in range(reps):
+            carry, out = step(bits_blocks, carry, cw_r, cw_i,
+                              searcher.dops_hz)
+        _ = np.asarray(out)
+        best = min(best, time.perf_counter() - t0)
+    return best
+
+
+t_lo, t_hi = timed(2), timed(6)
+dt = (t_hi - t_lo) / (4 * n_blocks)
 
 grid = len(cfg.prns) * n_dop * searcher.block_len
 value = grid / dt

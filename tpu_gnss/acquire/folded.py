@@ -613,7 +613,10 @@ def refine_peak(pwr: np.ndarray, dops_hz: np.ndarray, sv_row: int
         dd = parabola(g[d0 - 1, l0], g[d0, l0], g[d0 + 1, l0])
     dl = parabola(g[d0, (l0 - 1) % p], g[d0, l0], g[d0, (l0 + 1) % p])
     step = float(dops_hz[1] - dops_hz[0]) if n_dop > 1 else 0.0
-    snr = float(g[d0, l0] / (g[d0].sum() / p))
+    # degenerate (all-zero) grid row -> SNR 0, not a 0/0 warning (the
+    # same NaN-safe stance as _dets_from_stack)
+    tot = float(g[d0].sum()) / p
+    snr = float(g[d0, l0] / tot) if tot > 0.0 else 0.0
     return dict(doppler_hz=float(dops_hz[d0]) + dd * step,
                 ca_shift=(l0 + dl) % p, snr=snr)
 

@@ -322,7 +322,11 @@ class Receiver:
         # (acquire/folded.noncoherent_threshold), so deeper accumulation
         # buys real sensitivity; k=8 is ~32 ms of head, well inside the
         # smallest chunk, and only runs when the receiver is short of a
-        # solvable constellation.
+        # solvable constellation.  Sensitivity cap: the guard floor
+        # scales with the sweep's strongest SNR, so in a strong-signal
+        # scene the escalation cannot report genuine SVs >13 dB below
+        # the strongest — they sit inside the C/A cross-correlation
+        # ambiguity (acquire/folded.CROSS_GUARD discussion).
         self.weak_min_svs = weak_min_svs
         self.weak_noncoherent = weak_noncoherent
         # complex-capture uplink quantization: "int8" sends quantized
