@@ -97,3 +97,26 @@ def test_convert_cli_roundtrip(tmp_path, synth_fixture_path):
     # missing input -> clean error
     assert cmain(["wav-to-1bit", str(tmp_path / "nope.wav"),
                   str(tmp_path / "x.bin")]) == 2
+
+
+def test_warmup_cli_seeds_exported_cache(tmp_path):
+    """The warmup CLI (the reference's pre-built-bitstream analog) runs
+    the pipeline once over noise and leaves exported programs behind —
+    the artifact that makes the NEXT process boot warm."""
+    import os
+    import subprocess
+    import sys
+    env = dict(os.environ, JAX_PLATFORMS="cpu")
+    env.pop("PALLAS_AXON_POOL_IPS", None)
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    r = subprocess.run(
+        [sys.executable, "-m", "tpu_gnss.cli.warmup",
+         "0.512e6", "2.048e6", "5000", "--fft-len", "4096",
+         "--chunk-s", "1", "--channels", "4",
+         "--cache-dir", str(tmp_path)],
+        capture_output=True, text=True, timeout=900, env=env, cwd=repo)
+    assert r.returncode == 0, (r.stdout[-2000:], r.stderr[-2000:])
+    exp = tmp_path / "exported"
+    blobs = ([f.name for f in exp.iterdir() if f.name.endswith(".jaxexp")]
+             if exp.is_dir() else [])
+    assert blobs, (r.stdout, r.stderr[-1000:])

@@ -47,6 +47,16 @@ _DIR: Optional[str] = None          # None = disabled
 _memo: dict = {}                    # key -> jitted exp.call | False
 _memo_lock = threading.Lock()
 _SRC_DIGEST: Optional[str] = None
+_export_threads: list = []          # live background export threads
+
+
+def wait_exports(timeout: Optional[float] = None) -> None:
+    """Block until outstanding background exports land (per thread
+    ``timeout``).  Used by warmup flows that exist to SEED the cache —
+    exiting before the daemon threads finish would discard the work."""
+    for t in list(_export_threads):
+        t.join(timeout)
+    _export_threads[:] = [t for t in _export_threads if t.is_alive()]
 
 
 def enable(path: Optional[str] = None) -> None:
@@ -128,7 +138,9 @@ def _export_async(key: str, fn, args, dyn_kwargs, static_kwargs) -> None:
             except Exception:
                 pass
 
-    threading.Thread(target=work, daemon=True).start()
+    t = threading.Thread(target=work, daemon=True)
+    _export_threads.append(t)
+    t.start()
 
 
 def call(name: str, fn, args: tuple = (), dyn_kwargs: Optional[dict] = None,
