@@ -1194,3 +1194,47 @@ def test_live_sky_rehearsal_combined():
         f"{t18.hour:02d}{t18.minute:02d}{t18.second:02d}")
     t0 = nmea_out.gps_to_utc(900, sol.t_rx, leap_s=0)
     assert (t0 - t18).total_seconds() == 18.0
+
+
+def test_capture_shorter_than_acquisition_block_is_empty(tmp_path, rng):
+    """A capture shorter than one acquisition block yields an EMPTY
+    result, not an AssertionError: the partial-chunk sources now
+    deliver the short first block, and the receiver must recognize a
+    too-short CAPTURE (graceful) vs a too-small chunk_s (caller bug)."""
+    from tpu_gnss.receiver import Receiver
+    bits = rng.integers(0, 2, 4096).astype(np.uint8)   # 2 ms < 4 ms block
+    path = tmp_path / "tiny.bin"
+    path.write_bytes(loaders.pack_1bit(bits))
+    res = Receiver(SMALL).process_source(
+        stream.FileSource1Bit(str(path), SMALL), chunk_s=1.0)
+    assert res.detections == [] and res.channels == [] \
+        and res.solutions == []
+
+
+def test_packed_partial_chunk_never_fabricates_samples(tmp_path, rng):
+    """The final partial packed chunk's word count must imply the EXACT
+    sample count: zero-padding the last 1-3 bytes up to a uint32 word
+    fabricated up to 24 samples past the capture end, which could add
+    a whole tracking step of garbage when the true length sat just
+    below a step boundary."""
+    from tpu_gnss.receiver import Receiver
+
+    fs = SMALL.fs
+    p = round(fs * 1e-3)
+    svs = [synth.SvSignal(prn=9, doppler_hz=500.0, code_phase_chips=300.0)]
+    # true length 250*20480 - 8 samples: 8 pad bits would cross a
+    # 10-epoch step boundary (the old bug => one extra epoch of zeros)
+    n = 250 * (p * 10) - 8
+    assert n % 8 == 0 and (n // 8) % 4 != 0
+    iq = synth.synth_baseband(svs, fs, n, noise_std=0.3, seed=7)
+    bits = synth.baseband_to_1bit_if(iq, SMALL.fc, fs)
+    path = tmp_path / "cap.bin"
+    path.write_bytes(loaders.pack_1bit(bits))
+
+    res = Receiver(SMALL).process_source(
+        stream.FileSource1Bit(str(path), SMALL), chunk_s=1.0)
+    # chunks 1-2 full (1000 epochs each); the partial third chunk holds
+    # 1023968 trimmed samples -> 490 whole steps.  The pad bug gave 500.
+    assert [r.n_epochs for r in res.channels] == \
+        [2490] * len(res.channels), \
+        [r.n_epochs for r in res.channels]

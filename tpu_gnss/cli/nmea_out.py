@@ -195,7 +195,12 @@ def broadcast_leap_s(eph, week: Optional[int], tow_s: float) -> float:
     carries one, else :data:`DEFAULT_LEAP_S`."""
     if eph is not None and getattr(eph, "has_utc", False):
         from ..nav.ephemeris import resolve_week
-        w = resolve_week(int(week)) if week is not None else 0
+        # no explicit week -> the ephemeris's own subframe-1 week (a
+        # week-0 fallback would make the mod-256 WN_LSF effectivity
+        # comparison arbitrary and could apply a FUTURE leap early)
+        if week is None:
+            week = getattr(eph, "week", 0)
+        w = resolve_week(int(week))
         return eph.leap_seconds(w, tow_s)
     return DEFAULT_LEAP_S
 

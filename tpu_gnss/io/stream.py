@@ -108,8 +108,17 @@ class FileSource1Bit(SampleSource):
         with open(self.path, "rb") as f:
             while True:
                 raw = f.read(block_len // 8)
-                if raw:   # final partial chunk included (see bit_blocks)
-                    yield packed_words_from_file_bytes(raw)
+                if raw:
+                    # final partial chunk included (see bit_blocks),
+                    # trimmed to whole uint32 words: the word count must
+                    # imply the EXACT sample count — zero-padding would
+                    # fabricate up to 24 samples past the capture end
+                    # and could extend the last tracked epoch over data
+                    # that never existed.  <=3 tail bytes (<=24 samples,
+                    # a fraction of one epoch) are dropped instead.
+                    raw4 = raw[: 4 * (len(raw) // 4)]
+                    if raw4:
+                        yield packed_words_from_file_bytes(raw4)
                 if len(raw) < block_len // 8:
                     return
 

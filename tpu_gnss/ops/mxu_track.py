@@ -59,26 +59,38 @@ def pad_channels(n_chan: int) -> int:
 
 @functools.lru_cache(maxsize=8)
 def track_tables(nf: int, period: int, dsamp: float) -> tuple:
-    """Constant tables: forward-DFT factors + early/late tap grids.
+    """Constant DFT tables: forward four-step factors for the kernel.
 
     Derived from :func:`tpu_gnss.ops.mxu_corr.four_step_np` (the single
     source of the index-map conventions), transposed for this kernel's
-    chain ``G^T = ((Y^T @ F2^T) ⊙ W^T)^T_block @ F1``; tap grids are in
-    the ``[k2, k1]`` layout of G^T with signed frequencies:
-    ``t(d)[k2, k1] = e^{-j2πk_eff d/NF}``.
+    chain ``G^T = ((Y^T @ F2^T) ⊙ W^T)^T_block @ F1``.  ``dsamp`` is
+    kept in the signature for cache-key symmetry with the tap builders.
+    The DENSE tap grids live in :func:`dense_taps` (odd-n1 path only —
+    the even-n1 fast path uses the rank-1 :func:`tap_basis` and must
+    not pay for four [n2, n1] complex grids it never reads).
     """
     from .mxu_corr import four_step_np
     t = four_step_np(nf, period)
     f2t = t["f2"].T                                    # [u, k2]
     wtt = t["wt"].T                                    # [v, k2]
     f1 = t["f1"]                                       # [v, k1]
+    bf = lambda a: (a.real.astype(jnp.bfloat16), a.imag.astype(jnp.bfloat16))
+    f32 = lambda a: (a.real.astype(np.float32), a.imag.astype(np.float32))
+    return (t["u_rows"], bf(f2t), f32(wtt), bf(f1))
+
+
+@functools.lru_cache(maxsize=8)
+def dense_taps(nf: int, period: int, dsamp: float) -> tuple:
+    """Dense early/late tap grids in the ``[k2, k1]`` layout of G^T with
+    signed frequencies, ``t(d)[k2, k1] = e^{-j2πk_eff d/NF}`` — the
+    odd-n1 kernel path's tables."""
+    from .mxu_corr import four_step_np
+    t = four_step_np(nf, period)
     tap = lambda d: np.exp(-2j * np.pi * t["keff"] * (d / nf))
     taps = (tap(dsamp), tap(dsamp - period),
             tap(-dsamp), tap(-dsamp + period))
-    bf = lambda a: (a.real.astype(jnp.bfloat16), a.imag.astype(jnp.bfloat16))
     f32 = lambda a: (a.real.astype(np.float32), a.imag.astype(np.float32))
-    return (t["u_rows"], bf(f2t), f32(wtt), bf(f1),
-            tuple(f32(x) for x in taps))
+    return tuple(f32(x) for x in taps)
 
 
 @functools.lru_cache(maxsize=8)
@@ -343,8 +355,8 @@ def track_corr(blk_tr: jnp.ndarray, blk_ti: jnp.ndarray,
     """
     from jax.experimental import pallas as pl
     n1, n2 = split_nf(nf)
-    (u_rows, (f2r, f2i), (wtr, wti), (f1r, f1i),
-     taps) = track_tables(nf, period, dsamp)
+    (u_rows, (f2r, f2i), (wtr, wti),
+     (f1r, f1i)) = track_tables(nf, period, dsamp)
     e_sub, n_pad = params.shape[0], params.shape[1]
     even = n1 % 2 == 0
     kernel = _kernel_factory(n_pad, n1, n2, u_rows, nf, even)
@@ -356,7 +368,8 @@ def track_corr(blk_tr: jnp.ndarray, blk_ti: jnp.ndarray,
         (br, bi), (udr, udi) = tap_basis(nf, period, dsamp)
         tap_consts = (br, bi, udr, udi)
     else:
-        (ter, tei), (tewr, tewi), (tlr, tli), (tlwr, tlwi) = taps
+        ((ter, tei), (tewr, tewi), (tlr, tli),
+         (tlwr, tlwi)) = dense_taps(nf, period, dsamp)
         tap_consts = (ter, tei, tewr, tewi, tlr, tli, tlwr, tlwi)
     consts = [jnp.asarray(a) for a in
               (f2r, f2i, wtr, wti, f1r, f1i) + tap_consts]

@@ -750,6 +750,7 @@ class Receiver:
         try:
             return self._stream_loop(
                 iter(prefetcher), source, n_samples, p, eps,
+                chunk_len=chunk_len,
                 use_packed=use_packed, use_bits=use_bits,
                 use_rawiq=use_rawiq, max_duration_s=max_duration_s,
                 max_channels=max_channels,
@@ -762,8 +763,9 @@ class Receiver:
             prefetcher.stop()
 
     def _stream_loop(self, blocks, source, n_samples, p, eps, *,
-                     use_packed, use_bits, use_rawiq, max_duration_s,
-                     max_channels, warm_ephemerides, on_solution):
+                     chunk_len, use_packed, use_bits, use_rawiq,
+                     max_duration_s, max_channels, warm_ephemerides,
+                     on_solution):
         """Streaming body of :meth:`process_source`, split out so the
         caller's try/finally can stop the prefetcher on every exit."""
         import os as _os
@@ -777,8 +779,14 @@ class Receiver:
         if first_item is None:
             return ReceiverResult(detections=[], channels=[], solutions=[])
         first = first_item[0]
-        assert n_samples(first) >= self.searcher.block_len, \
-            "chunk_s too small for the acquisition block"
+        if n_samples(first) < self.searcher.block_len:
+            # a CONFIG whose chunks can't hold one acquisition block is
+            # a caller error; a CAPTURE shorter than one block (now
+            # delivered, since sources yield the final partial chunk)
+            # is simply empty output — the pre-partial-chunk behavior
+            assert chunk_len >= self.searcher.block_len, \
+                "chunk_s too small for the acquisition block"
+            return ReceiverResult(detections=[], channels=[], solutions=[])
 
         n_chan = max_channels or cfg.num_chans
         if self.mesh is not None:

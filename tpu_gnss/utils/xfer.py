@@ -126,6 +126,19 @@ def to_device_iq4(raw: np.ndarray, signed: bool,
                        jnp.float32(1.0 / scale), remove_dc)
 
 
+#: 2-bit sign/magnitude dequant divisor: levels {±1, ±3}·(rms/_I2_RMS_DIV)
+#: reproduce the input RMS (E[lvl²] = 0.68·1 + 0.32·9 = 3.56 at a ±1σ
+#: threshold, sqrt = 1.887) — ONE constant shared by the byte-LUT and
+#: host-complex quantizers so they can never drift apart.
+_I2_RMS_DIV = 1.887
+
+
+def _i2_code(v: np.ndarray, rms: float) -> np.ndarray:
+    """2-bit sign/magnitude code: 2·negative + strong (levels ±1, ±3
+    at a threshold of one RMS) — the single source of the mapping."""
+    return (2 * (v < 0) + (np.abs(v) >= rms)).astype(np.uint8)
+
+
 @functools.partial(jax.jit, static_argnames=("remove_dc",))
 def _unpack_iq2(packed: jnp.ndarray, step: jnp.ndarray,
                 remove_dc: bool) -> jnp.ndarray:
@@ -169,9 +182,9 @@ def to_device_iq2(raw: np.ndarray, signed: bool,
     raw = np.asarray(raw)
     assert raw.dtype.itemsize == 1, (
         f"to_device_iq2 takes 8-bit capture bytes, got {raw.dtype}")
-    assert len(raw) % 8 == 0, (
-        "2-bit packing needs whole bytes of FOUR components: sample "
-        "count must be a multiple of 4")
+    assert len(raw) % 4 == 0, (
+        "2-bit packing needs whole bytes of FOUR components: the "
+        "complex sample count must be even")
     head = raw[:65536].astype(np.float32)
     if not signed:
         head = head - 128.0
@@ -181,12 +194,12 @@ def to_device_iq2(raw: np.ndarray, signed: bool,
     v = np.arange(256, dtype=np.uint8)
     v = (v.view(np.int8).astype(np.float32) if signed
          else v.astype(np.float32) - 128.0)
-    code = (2 * (v < 0) + (np.abs(v) >= rms)).astype(np.uint8)
+    code = _i2_code(v, rms)
     u = raw.view(np.uint8) if raw.dtype != np.uint8 else raw
     packed = (code[u[0::4]] | (code << 2)[u[1::4]]
               | (code << 4)[u[2::4]] | (code << 6)[u[3::4]])
     return _unpack_iq2(jnp.asarray(packed),
-                       jnp.float32(rms / 1.887), remove_dc)
+                       jnp.float32(rms / _I2_RMS_DIV), remove_dc)
 
 
 def to_device_complex_i2(x: np.ndarray) -> jax.Array:
@@ -201,11 +214,10 @@ def to_device_complex_i2(x: np.ndarray) -> jax.Array:
     rms = float(np.sqrt(np.mean(np.square(comps[:131072]))))
     if rms <= 1e-12:
         rms = 1.0
-    code = (2 * (comps < 0) + (np.abs(comps) >= rms)).astype(np.uint8)
-    c = code.reshape(-1, 4)
+    c = _i2_code(comps, rms).reshape(-1, 4)
     packed = c[:, 0] | (c[:, 1] << 2) | (c[:, 2] << 4) | (c[:, 3] << 6)
-    return _unpack_iq2(jnp.asarray(packed), jnp.float32(rms / 1.887),
-                       False)
+    return _unpack_iq2(jnp.asarray(packed),
+                       jnp.float32(rms / _I2_RMS_DIV), False)
 
 
 @functools.partial(jax.jit, static_argnames=("signed", "remove_dc"))
