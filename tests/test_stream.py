@@ -1238,3 +1238,53 @@ def test_packed_partial_chunk_never_fabricates_samples(tmp_path, rng):
     assert [r.n_epochs for r in res.channels] == \
         [2490] * len(res.channels), \
         [r.n_epochs for r in res.channels]
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("fs,chunk_s,fmt,tail", [
+    (2.046e6, 0.5, "1bit", 0),     # p=2046: chunk not 32-aligned -> bits path
+    (2.046e6, 1.0, "iq8", 123),    # odd tail on the rawiq path
+    (2.048e6, 2.0, "1bit", 8216),  # packed path + odd word tail
+    (2.048e6, 0.5, "iq8", 0),      # int2 link mode below
+])
+def test_receiver_config_matrix_smoke(tmp_path, fs, chunk_s, fmt, tail):
+    """Robustness matrix over sample rates / chunk sizes / formats /
+    ragged capture tails: every combination must run the full stream
+    loop without tripping an alignment assert (the review-found class:
+    partial-chunk yields and packing constraints interacting with
+    configs the happy-path tests never used) and keep tracking lock."""
+    from tpu_gnss.receiver import Receiver
+    cfg = ReceiverConfig(fs=fs, fc=fs / 4, max_fo=5000.0, fft_len=4096,
+                         snr_threshold=17.0)
+    p = round(fs * 1e-3)
+    n = int(3.0 * fs) + tail
+    n -= n % 8                      # 1-bit packing needs whole bytes
+    svs = [synth.SvSignal(prn=9, doppler_hz=500.0, code_phase_chips=300.0),
+           synth.SvSignal(prn=17, doppler_hz=-1200.0, code_phase_chips=10.0)]
+    iq = synth.synth_baseband(svs, fs, n, noise_std=0.4, seed=4)
+    if fmt == "1bit":
+        path = tmp_path / "cap.bin"
+        path.write_bytes(loaders.pack_1bit(
+            synth.baseband_to_1bit_if(iq, cfg.fc, fs)))
+        src = stream.FileSource1Bit(str(path), cfg)
+        recv = Receiver(cfg)
+    else:
+        raw = np.empty(2 * n, np.int8)
+        scale = 100.0 / max(np.abs(iq.real).max(), np.abs(iq.imag).max())
+        raw[0::2] = np.clip(np.rint(iq.real * scale), -127, 127)
+        raw[1::2] = np.clip(np.rint(iq.imag * scale), -127, 127)
+        path = tmp_path / "cap_iq8.bin"
+        raw.tofile(path)
+        src = stream.IQFileSource(str(path), fs, remove_dc=False)
+        # exercise the tightest link mode on one combo
+        dtype = "int2" if chunk_s == 0.5 else "int8"
+        recv = Receiver(cfg, transfer_dtype=dtype)
+    res = recv.process_source(src, chunk_s=chunk_s)
+    assert sorted(d["prn"] for d in res.detections) == [9, 17]
+    for r in res.channels:
+        ip = np.asarray(r.ip_hist[-100:])
+        assert np.abs(ip).mean() > 0.2 * p, (fs, chunk_s, fmt, tail)
+        # every channel saw (at least) the whole-step epochs the true
+        # capture length supports, never more than the capture holds
+        assert r.n_epochs <= n // p
+        assert r.n_epochs >= (n // p // 10) * 10 - 10
