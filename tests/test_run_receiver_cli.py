@@ -218,3 +218,22 @@ def test_cli_rtltcp_warm_start_full_loop(tmp_path, capsys):
         gga_times[-1], t18)
     # and the next session's almanac store was collected
     assert nxt.get("almanac"), "almanac store not persisted"
+
+
+@pytest.mark.slow
+def test_cli_link_mode_int2(tmp_path, capsys):
+    """--link int2 routes the 8-bit capture through the 2-bit uplink
+    end to end from the CLI."""
+    iq, ephs, rx = build_scene(duration=8.0)
+    raw = np.empty(2 * len(iq), np.int8)
+    scale = 100.0 / max(np.abs(iq.real).max(), np.abs(iq.imag).max())
+    raw[0::2] = np.clip(np.rint(iq.real * scale), -127, 127)
+    raw[1::2] = np.clip(np.rint(iq.imag * scale), -127, 127)
+    cap = tmp_path / "cap_iq8.bin"
+    raw.tofile(cap)
+    rc = run_receiver.main([
+        str(cap), str(FS / 4), str(FS), "5000", "--format", "iq8",
+        "--link", "int2", "--fft-len", "4096", "--threshold", "17"])
+    out = capsys.readouterr().out
+    assert rc == 0
+    assert "acquired" in out and "PRN" in out

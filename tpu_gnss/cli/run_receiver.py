@@ -36,6 +36,14 @@ def main(argv=None) -> int:
                         "(overrides the positional values)")
     p.add_argument("--format", choices=["1bit", "iq8", "iqu8"],
                    default="1bit")
+    p.add_argument("--link", choices=["int8", "int4", "int2", "float32"],
+                   default="int8", metavar="MODE",
+                   help="host->device uplink quantization for 8-bit IQ "
+                        "formats (and rtltcp://): int8 = the capture's "
+                        "own bytes, int4 = packed nibbles (2x less "
+                        "traffic, <0.1 dB), int2 = classic GNSS 2-bit "
+                        "sign/magnitude (4x less, ~0.55 dB).  1-bit "
+                        "captures always use the packed-word uplink")
     p.add_argument("--duration", type=float, default=None,
                    help="seconds of capture to process")
     p.add_argument("--threshold", type=float, default=25.0)
@@ -229,7 +237,7 @@ def main(argv=None) -> int:
     if_off = (args.if_offset if args.if_offset == "auto"
               else float(args.if_offset))
     recv = Receiver(cfg, max_history_s=max_hist, mesh=mesh,
-                    if_offset_hz=if_off)
+                    if_offset_hz=if_off, transfer_dtype=args.link)
     on_sol = None
     if args.follow:
         from . import nmea_out as _nm
