@@ -147,7 +147,16 @@ def build_scene(duration: float = 20.0, n_sv: int = 6, noise: float = 0.7,
                 else rx_np[None, :] + np.outer(t_knots, vel_ecef))
     for k, eph in enumerate(ephs):
         tsv_k = sv_time_knots(eph, rx_knots, knots_t)
-        poly = np.polynomial.Polynomial.fit(t_knots, tsv_k, deg=fit_deg)
+        if duration > 60.0:
+            # one global polynomial goes ill-conditioned on long scenes
+            # (deg = duration/12: RankWarning at 600 s); a cubic spline
+            # over the 1/3 s knot grid is exact to far below a ns for
+            # SV-time curvature at ANY duration
+            from scipy.interpolate import CubicSpline
+            poly = CubicSpline(t_knots, tsv_k)
+        else:
+            poly = np.polynomial.Polynomial.fit(t_knots, tsv_k,
+                                                deg=fit_deg)
         tsv0 = float(poly(0.0))
         # stream origin: the subframe boundary below t_sv0 (sf4 filler
         # occupies [sf0, sf0+6); t_sv0 lands ~4.5 s into it)

@@ -1340,21 +1340,30 @@ class Receiver:
                 r.prn, r.eph)
 
     def _carrier_smoothed_chips(self, r: ChannelRecord,
-                                e_local: int, max_w: int = 4000,
+                                e_local: int, max_w: int = 20000,
                                 settle: int = 1200) -> float:
         """Carrier-smoothed code phase at epoch ``e_local`` (chips).
 
         Hatch-style smoothing the reference never had: each epoch in a
         trailing window predicts the snapshot's code phase as its own
         tracked chips plus the carrier-implied advance to the snapshot
-        (code and carrier are coherent, so the prediction is unbiased);
-        averaging the predictions beats the instantaneous DLL estimate
-        by the window's independent-sample count.  DLL noise is
-        bandlimited by the ~2 Hz loop, so a 4 s window holds ~10-40
-        independent samples — measured fix error drops ~3x.  The window
-        skips the pull-in ``settle`` and never reaches before channel
-        start; a channel that loses lock stops accumulating epochs, so
-        post-loss garbage cannot enter.
+        (code and carrier are coherent, so the prediction is unbiased
+        for any motion/clock dynamics — the advance integrates the
+        ACTUAL per-epoch tracked carrier rates); averaging the
+        predictions beats the instantaneous DLL estimate by the
+        window's independent-sample count.  DLL noise is bandlimited by
+        the ~2 Hz loop AND shows multi-second wander events on weak
+        channels (r5 soak diagnosis: a lone ~10 m, ~8 s excursion on
+        the weakest SV put a 5.9 m spike in an otherwise 1.5 m-median
+        series).  The 20 s default window averages those too: swept on
+        the 300 s soak scene, max fix error 5.91/3.93/2.58/2.07 m at
+        4/10/20/40 s windows with the median flat at ~1.45 m — 20 s
+        takes most of the win while keeping the window well under the
+        ~100 s real receivers run before code-carrier iono divergence
+        (<=~10 cm at typical rates, absent in synthetic scenes)
+        matters.  The window skips the pull-in ``settle`` and never
+        reaches before channel start; a channel that loses lock stops
+        accumulating epochs, so post-loss garbage cannot enter.
         """
         w = min(e_local - settle, max_w, e_local - r.trim_epochs)
         if w < 100:
