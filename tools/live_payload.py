@@ -61,6 +61,12 @@ Receiver(cfg).process_source(FollowSource1Bit(warm_path, cfg),
                              chunk_s=0.5, max_duration_s=8.0,
                              on_solution=lambda s: None)
 print("warm pass done", flush=True)
+# a fresh source digest re-exports every program in background threads
+# (~1-3 s of GIL-heavy tracing each) — let them land BEFORE the timed
+# realtime phases, or they starve the live loop for seconds
+from tpu_gnss.utils import progcache
+progcache.wait_exports(timeout=120.0)
+print("exports settled", flush=True)
 
 live_path = "/tmp/live_feed.bin"
 for p in (live_path, live_path + ".done"):

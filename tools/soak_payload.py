@@ -73,6 +73,11 @@ for attempt in range(2):   # pass 0 warms the compile caches
     walls.append(time.perf_counter() - t0)
     print(f"pass {attempt}: {walls[-1]:.1f}s wall for {DURATION:.0f}s "
           f"({DURATION/walls[-1]:.2f}x realtime)", flush=True)
+    if attempt == 0:
+        # background program exports (fresh digest) must not contend
+        # with the timed pass
+        from tpu_gnss.utils import progcache
+        progcache.wait_exports(timeout=120.0)
 wall = walls[-1]
 rss_mb = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1024.0
 
